@@ -1,0 +1,240 @@
+"""Differentiable screen-space projection of 3D Gaussians (EWA splatting).
+
+TPU-native equivalent of the *preprocess* stage of the reference CUDA
+rasterizer (submodule `diff-gaussian-rasterization`, invoked at
+gaussian_renderer/__init__.py:86-94). Everything here is plain, vectorized
+jnp: per-gaussian elementwise math that XLA fuses into a single kernel; the
+MXU-heavy blending lives in ops/blend*.py.
+
+Math contract (pinned by the upstream Inria design the reference depends on):
+  * view-space position p_view = [p, 1] @ viewmatrix (row-vector, transposed
+    matrix storage); cull when p_view.z <= 0.2
+  * clip position p_hom = [p, 1] @ projmatrix; ndc = p_hom.xyz/(p_hom.w+1e-7)
+  * pixel center = ndc2pix(ndc, size) = ((ndc + 1) * size - 1) / 2
+  * 2D covariance = J W Sigma W^T J^T with the perspective Jacobian J
+    evaluated at the frustum-clamped view position, plus a 0.3 px dilation
+    on the diagonal
+  * conic = inverse covariance; radius = ceil(3 sqrt(lambda_max))
+  * color = max(eval_sh(deg, sh, normalize(p - campos)) + 0.5, 0)
+
+Gradient convention: `means2d_offset` is a zeros-valued [N, 2] input added to
+the *NDC* xy coordinates. Its cotangent equals the reference's
+`viewspace_points.grad` (NDC-scaled screen gradient) that drives
+densification (reference train.py:198, scene/gaussian_model.py:517-519).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussianavatars_tpu.ops.covariance import build_covariance_3d
+from gaussianavatars_tpu.ops.sh import eval_sh
+
+
+class ProjectedGaussians(NamedTuple):
+    """Per-gaussian screen-space quantities (all [N, ...])."""
+
+    means2d: jnp.ndarray      # [N, 2] pixel coordinates of the center
+    depths: jnp.ndarray       # [N] view-space z
+    conics: jnp.ndarray       # [N, 3] inverse 2D covariance (xx, xy, yy)
+    colors: jnp.ndarray       # [N, 3] RGB from SH (>= 0)
+    opacities: jnp.ndarray    # [N] in (0, 1)
+    radii: jnp.ndarray        # [N] int32 pixel radius (0 = culled)
+    valid: jnp.ndarray        # [N] bool visibility after culling
+
+
+class CameraParams(NamedTuple):
+    """Static+dynamic camera description for one render.
+
+    Matrices use the reference's transposed (row-vector) storage so cameras
+    interchange with saved reference artifacts (scene/cameras.py:44-47).
+    """
+
+    viewmatrix: jnp.ndarray   # [4, 4] world->view, transposed
+    projmatrix: jnp.ndarray   # [4, 4] world->clip composite, transposed
+    campos: jnp.ndarray       # [3] camera center, world space
+    tan_fovx: float
+    tan_fovy: float
+    width: int                # static
+    height: int               # static
+
+
+def compute_cov2d(
+    mean3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    viewmatrix: jnp.ndarray,
+    focal_x: float,
+    focal_y: float,
+    tan_fovx: float,
+    tan_fovy: float,
+) -> jnp.ndarray:
+    """EWA projection of a 3D covariance to screen space. [N,3,3]x -> [N,3].
+
+    Returns packed (xx, xy, yy) of the 2D covariance including the 0.3 px
+    low-pass dilation.
+    """
+    ones = jnp.ones_like(mean3d[..., :1])
+    t = jnp.matmul(jnp.concatenate([mean3d, ones], axis=-1), viewmatrix,
+                  precision=jax.lax.Precision.HIGHEST)  # [N, 4]
+    tz = t[..., 2]
+
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    txtz = jnp.clip(t[..., 0] / tz, -limx, limx)
+    tytz = jnp.clip(t[..., 1] / tz, -limy, limy)
+    tx = txtz * tz
+    ty = tytz * tz
+
+    zero = jnp.zeros_like(tz)
+    # Perspective Jacobian rows (third output row is zero).
+    j00 = focal_x / tz
+    j02 = -(focal_x * tx) / (tz * tz)
+    j11 = focal_y / tz
+    j12 = -(focal_y * ty) / (tz * tz)
+    J = jnp.stack(
+        [
+            jnp.stack([j00, zero, j02], axis=-1),
+            jnp.stack([zero, j11, j12], axis=-1),
+        ],
+        axis=-2,
+    )  # [N, 2, 3]
+
+    W = viewmatrix[:3, :3].T  # world->view rotation acting on column vectors
+    # M = J @ W: [N, 2, 3]; cov2d = M @ Sigma @ M^T. Full f32: the TPU's
+    # default bf16 matmul precision visibly distorts conics.
+    hi = jax.lax.Precision.HIGHEST
+    M = jnp.matmul(J, W, precision=hi)
+    cov2d = jnp.matmul(
+        jnp.matmul(M, cov3d, precision=hi),
+        jnp.swapaxes(M, -1, -2), precision=hi,
+    )  # [N, 2, 2]
+
+    xx = cov2d[..., 0, 0] + 0.3
+    yy = cov2d[..., 1, 1] + 0.3
+    xy = cov2d[..., 0, 1]
+    return jnp.stack([xx, xy, yy], axis=-1)
+
+
+def ndc2pix(ndc: jnp.ndarray, size) -> jnp.ndarray:
+    return ((ndc + 1.0) * size - 1.0) * 0.5
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray,
+    sh_degree: int,
+    camera: CameraParams,
+    scaling_modifier: float = 1.0,
+    means2d_offset: jnp.ndarray | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
+) -> ProjectedGaussians:
+    """Project world-space gaussians to screen space (fully differentiable).
+
+    Args:
+      means3d: [N, 3] world positions.
+      scales: [N, 3] linear (already exp-activated) scales.
+      quats: [N, 4] wxyz rotations (normalized internally).
+      opacities: [N] in (0,1) (already sigmoid-activated).
+      shs: [N, K, 3] SH coefficients (K >= (sh_degree+1)^2).
+      sh_degree: active SH degree (static).
+      camera: CameraParams.
+      scaling_modifier: global scale multiplier (viewer control).
+      means2d_offset: optional [N, 2] zeros; gradients w.r.t. it are the
+        densification signal (NDC units).
+      colors_precomp: optional [N, 3] overriding SH evaluation.
+      cov3d_precomp: optional [N, 3, 3] overriding scale/rot covariance.
+
+    Returns:
+      ProjectedGaussians with culled entries flagged invalid (radius 0).
+    """
+    n = means3d.shape[0]
+    focal_x = camera.width / (2.0 * camera.tan_fovx)
+    focal_y = camera.height / (2.0 * camera.tan_fovy)
+
+    ones = jnp.ones((n, 1), dtype=means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], axis=-1)
+
+    hi = jax.lax.Precision.HIGHEST
+    p_view = jnp.matmul(hom, camera.viewmatrix, precision=hi)
+    depths = p_view[..., 2]
+    in_front = depths > 0.2
+
+    p_hom = jnp.matmul(hom, camera.projmatrix, precision=hi)
+    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    ndc = p_hom[..., :3] * p_w[..., None]
+    ndc_xy = ndc[..., :2]
+    if means2d_offset is not None:
+        ndc_xy = ndc_xy + means2d_offset
+    means2d = jnp.stack(
+        [
+            ndc2pix(ndc_xy[..., 0], camera.width),
+            ndc2pix(ndc_xy[..., 1], camera.height),
+        ],
+        axis=-1,
+    )
+
+    if cov3d_precomp is not None:
+        cov3d = cov3d_precomp
+    else:
+        cov3d = build_covariance_3d(scales, quats, scaling_modifier)
+    cov2d = compute_cov2d(
+        means3d, cov3d, camera.viewmatrix, focal_x, focal_y,
+        camera.tan_fovx, camera.tan_fovy,
+    )
+
+    det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] ** 2
+    det_ok = det > 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conics = jnp.stack(
+        [cov2d[..., 2] * inv_det, -cov2d[..., 1] * inv_det, cov2d[..., 0] * inv_det],
+        axis=-1,
+    )
+
+    mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    lambda_max = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
+
+    valid = in_front & det_ok
+    radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    # Fully off-screen gaussians are culled here; exact tile-rect emptiness
+    # is resolved in the binning stage.
+    on_screen = (
+        (means2d[..., 0] + radius_f >= 0.0)
+        & (means2d[..., 0] - radius_f < camera.width)
+        & (means2d[..., 1] + radius_f >= 0.0)
+        & (means2d[..., 1] - radius_f < camera.height)
+    )
+    valid = valid & on_screen & (radii > 0)
+    radii = jnp.where(valid, radii, 0)
+
+    if colors_precomp is not None:
+        colors = colors_precomp
+    else:
+        dirs = means3d - camera.campos
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        # shs: [N, K, 3] -> eval over channel-last layout; dirs broadcast
+        # [N, 1] against the [N, 3] channel axis inside eval_sh.
+        sh_cl = jnp.swapaxes(shs, -1, -2)  # [N, 3, K]
+        colors = eval_sh(sh_degree, sh_cl, dirs) + 0.5
+        colors = jnp.maximum(colors, 0.0)
+
+    return ProjectedGaussians(
+        means2d=means2d,
+        depths=depths,
+        conics=conics,
+        colors=colors,
+        opacities=opacities,
+        radii=radii,
+        valid=valid,
+    )

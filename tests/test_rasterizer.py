@@ -1,0 +1,178 @@
+"""Rasterizer correctness: tile pipeline vs the naive oracle, fwd and bwd."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussianavatars_tpu.ops.projection import project_gaussians
+from gaussianavatars_tpu.ops.rasterize_jnp import rasterize_reference
+from gaussianavatars_tpu.ops.rasterize_tiles import rasterize
+
+from .utils import make_camera, make_scene
+
+BG = jnp.asarray([1.0, 1.0, 1.0])
+
+
+def oracle_render(scene, cam, sh_degree=2, means2d_offset=None):
+    proj = project_gaussians(
+        scene["means3d"], scene["scales"], scene["quats"],
+        scene["opacities"], scene["shs"], sh_degree, cam,
+        means2d_offset=means2d_offset,
+    )
+    return rasterize_reference(proj, cam, BG)
+
+
+def tile_render(scene, cam, sh_degree=2, means2d_offset=None, **kw):
+    kw.setdefault("capacity", 4096)
+    kw.setdefault("tile_size", 16)
+    kw.setdefault("chunk", 8)
+    out = rasterize(
+        scene["means3d"], scene["scales"], scene["quats"],
+        scene["opacities"], scene["shs"], sh_degree, cam, BG,
+        means2d_offset=means2d_offset, **kw,
+    )
+    return out
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_tile_matches_oracle(self, seed):
+        cam = make_camera(width=48, height=40)
+        scene = make_scene(n=80, seed=seed)
+        img_oracle = np.asarray(oracle_render(scene, cam))
+        out = tile_render(scene, cam)
+        assert int(out.instance_total) <= 4096
+        np.testing.assert_allclose(
+            np.asarray(out.image), img_oracle, atol=2e-5, rtol=1e-4
+        )
+
+    def test_odd_image_size_and_tiles(self):
+        cam = make_camera(width=37, height=29)
+        scene = make_scene(n=50, seed=3)
+        img_oracle = np.asarray(oracle_render(scene, cam))
+        out = tile_render(scene, cam, tile_size=16, chunk=4)
+        np.testing.assert_allclose(
+            np.asarray(out.image), img_oracle, atol=2e-5, rtol=1e-4
+        )
+
+    def test_saturating_opacity_early_out(self):
+        # Dense, opaque scene drives T below 1e-4 -> exercises the early-out
+        cam = make_camera(width=32, height=32)
+        scene = make_scene(n=256, seed=4, spread=0.2, scale_mean=-1.2)
+        scene["opacities"] = jnp.full_like(scene["opacities"], 0.995)
+        img_oracle = np.asarray(oracle_render(scene, cam))
+        out = tile_render(scene, cam, capacity=16384)
+        assert int(out.instance_total) <= 16384
+        np.testing.assert_allclose(
+            np.asarray(out.image), img_oracle, atol=3e-5, rtol=1e-4
+        )
+        # background must be invisible where saturated; the early-out clamps
+        # T just above 1e-4 rather than below it
+        assert float(out.transmittance.min()) < 5e-4
+
+    def test_empty_scene_gives_background(self):
+        cam = make_camera(width=24, height=16)
+        scene = make_scene(n=4, seed=5)
+        scene["means3d"] = scene["means3d"] + 100.0  # push off-screen
+        out = tile_render(scene, cam)
+        np.testing.assert_allclose(np.asarray(out.image), 1.0, atol=1e-6)
+
+
+class TestBackwardParity:
+    def _loss_fns(self, cam, sh_degree=2):
+        key = jax.random.PRNGKey(0)
+        w = jax.random.normal(key, (3, cam.height, cam.width), dtype=jnp.float32)
+
+        def loss_oracle(scene, off):
+            img = oracle_render(scene, cam, sh_degree, means2d_offset=off)
+            return jnp.sum(img * w)
+
+        def loss_tile(scene, off):
+            out = tile_render(scene, cam, sh_degree, means2d_offset=off)
+            return jnp.sum(out.image * w)
+
+        return loss_oracle, loss_tile
+
+    def test_grads_match_oracle(self):
+        cam = make_camera(width=48, height=40)
+        scene = make_scene(n=60, seed=7)
+        off = jnp.zeros((60, 2), dtype=jnp.float32)
+        loss_oracle, loss_tile = self._loss_fns(cam)
+
+        g_o = jax.grad(loss_oracle, argnums=(0, 1))(scene, off)
+        g_t = jax.grad(loss_tile, argnums=(0, 1))(scene, off)
+
+        for kname in ["means3d", "scales", "quats", "opacities", "shs"]:
+            a, b = np.asarray(g_o[0][kname]), np.asarray(g_t[0][kname])
+            scale = max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=5e-4, err_msg=kname
+            )
+        # densification signal (NDC-space means2d gradient)
+        a, b = np.asarray(g_o[1]), np.asarray(g_t[1])
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4)
+        assert np.abs(a).max() > 0.0  # signal actually exists
+
+    def test_oracle_grads_vs_finite_difference(self):
+        cam = make_camera(width=24, height=20)
+        scene = make_scene(n=12, seed=8)
+        off = jnp.zeros((12, 2), dtype=jnp.float32)
+        loss_oracle, _ = self._loss_fns(cam)
+
+        g = jax.grad(lambda s: loss_oracle(s, off))(scene)
+        eps = 1e-3
+        rng = np.random.default_rng(0)
+        for kname in ["means3d", "opacities"]:
+            arr = np.asarray(scene[kname])
+            flat_idx = rng.integers(0, arr.size, size=4)
+            for fi in flat_idx:
+                idx = np.unravel_index(fi, arr.shape)
+                pert = arr.copy()
+                pert[idx] += eps
+                lp = float(loss_oracle({**scene, kname: jnp.asarray(pert)}, off))
+                pert[idx] -= 2 * eps
+                lm = float(loss_oracle({**scene, kname: jnp.asarray(pert)}, off))
+                fd = (lp - lm) / (2 * eps)
+                an = float(np.asarray(g[kname])[idx])
+                assert abs(fd - an) < 2e-2 * max(1.0, abs(fd)), (kname, idx, fd, an)
+
+    def test_grads_with_early_out(self):
+        cam = make_camera(width=32, height=32)
+        scene = make_scene(n=128, seed=9, spread=0.2, scale_mean=-1.2)
+        scene["opacities"] = jnp.full_like(scene["opacities"], 0.995)
+        off = jnp.zeros((128, 2), dtype=jnp.float32)
+        loss_oracle, loss_tile = self._loss_fns(cam)
+        g_o = jax.grad(loss_oracle)(scene, off)
+        g_t = jax.grad(loss_tile)(scene, off)
+        for kname in ["means3d", "scales", "opacities"]:
+            a, b = np.asarray(g_o[kname]), np.asarray(g_t[kname])
+            scale = max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-3, err_msg=kname)
+
+
+class TestBinning:
+    def test_total_counts_match_rect_areas(self):
+        from gaussianavatars_tpu.ops.binning import bin_gaussians
+
+        cam = make_camera(width=64, height=48)
+        scene = make_scene(n=40, seed=10)
+        proj = project_gaussians(
+            scene["means3d"], scene["scales"], scene["quats"],
+            scene["opacities"], scene["shs"], 2, cam,
+        )
+        b = bin_gaussians(
+            proj.means2d, proj.depths, proj.radii, proj.valid,
+            cam.width, cam.height, 16, 4096,
+        )
+        # every tile range is sorted by depth
+        ids = np.asarray(b.gaussian_ids)
+        depths = np.asarray(proj.depths)
+        starts, ends = np.asarray(b.tile_starts), np.asarray(b.tile_ends)
+        total = int(b.total)
+        assert total == int(ends[-1])
+        for t in range(len(starts)):
+            seg = ids[starts[t]:ends[t]]
+            d = depths[seg]
+            assert (np.diff(d) >= 0).all()
