@@ -1,0 +1,553 @@
+"""Gaussian splat cloud: parameters, binding chain, densification engine.
+
+TPU-native re-architecture of reference scene/gaussian_model.py. Key design
+departures from the torch original, driven by XLA's static-shape model:
+
+  * parameters live in a `GaussianParams` pytree padded to a *capacity
+    bucket* with an explicit `n_alive` count — jitted steps never change
+    shape; only densification events (every ~2k steps, host-side numpy)
+    re-bucket, so recompilation is rare and amortized
+  * the binding chain (local->world through per-triangle frames) is a pure
+    function (`world_space_gaussians`) so gradients flow into both gaussian
+    params AND the FLAME-driven face frames (reference
+    scene/gaussian_model.py:113-160)
+  * densify/clone/split/prune + Adam-state surgery are explicit numpy
+    transformations of (params, opt_state) — the exact re-implementation of
+    the reference's optimizer surgery (scene/gaussian_model.py:334-519)
+
+PLY interchange is bit-compatible with the reference (including the
+`binding_0` attribute) so artifacts transfer both ways.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianavatars_tpu.ops.quaternion import quat_multiply, quat_normalize
+from gaussianavatars_tpu.utils import ply as plyio
+
+# Padding for dead (beyond-n_alive) slots: effectively invisible and inert.
+_DEAD_OPACITY_LOGIT = -20.0
+_DEAD_LOG_SCALE = -20.0
+
+
+class GaussianParams(NamedTuple):
+    """Raw optimizable parameters (capacity-padded device arrays).
+
+    Layout mirrors reference scene/gaussian_model.py:50-55; `features_dc`
+    and `features_rest` are kept [N, K, 3] channel-last like the reference's
+    post-transpose layout.
+    """
+
+    xyz: jnp.ndarray            # [C, 3] local (bound) or world (unbound)
+    features_dc: jnp.ndarray    # [C, 1, 3]
+    features_rest: jnp.ndarray  # [C, K-1, 3]
+    scaling: jnp.ndarray        # [C, 3] log-scale
+    rotation: jnp.ndarray       # [C, 4] wxyz (unnormalized)
+    opacity: jnp.ndarray        # [C, 1] logit
+
+
+class FaceFrames(NamedTuple):
+    """Per-triangle rigid frames from the driven mesh
+    (reference scene/flame_gaussian_model.py:137-154)."""
+
+    center: jnp.ndarray       # [F, 3]
+    orient_mat: jnp.ndarray   # [F, 3, 3]
+    orient_quat: jnp.ndarray  # [F, 4] wxyz
+    scaling: jnp.ndarray      # [F, 1]
+
+
+def inverse_sigmoid(x):
+    return np.log(x / (1.0 - x))
+
+
+def world_space_gaussians(
+    params: GaussianParams,
+    binding: Optional[jnp.ndarray],
+    frames: Optional[FaceFrames],
+):
+    """Activate raw params and (when bound) carry them into world space.
+
+    Returns (means3d [C,3], scales [C,3], quats [C,4], opacities [C],
+    shs [C,K,3]). Matches the reference property chain:
+      get_xyz      scene/gaussian_model.py:140-150
+      get_scaling  :113-123
+      get_rotation :125-138
+    """
+    scales = jnp.exp(params.scaling)
+    opacities = jax.nn.sigmoid(params.opacity[:, 0])
+    shs = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
+
+    if binding is None:
+        quats = quat_normalize(params.rotation)
+        return params.xyz, scales, quats, opacities, shs
+
+    face_orient = frames.orient_mat[binding]        # [C, 3, 3]
+    face_scale = frames.scaling[binding]            # [C, 1]
+    face_center = frames.center[binding]            # [C, 3]
+    face_quat = quat_normalize(frames.orient_quat[binding])
+
+    xyz = jnp.einsum(
+        "nij,nj->ni", face_orient, params.xyz,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    means3d = xyz * face_scale + face_center
+    scales = scales * face_scale
+    quats = quat_multiply(face_quat, quat_normalize(params.rotation))
+    return means3d, scales, quats, opacities, shs
+
+
+def _round_capacity(n: int, granularity: int) -> int:
+    return max(granularity, -(-n // granularity) * granularity)
+
+
+class AdamState(NamedTuple):
+    """Per-tensor Adam moments (same pytree structure as the params)."""
+
+    mu: GaussianParams
+    nu: GaussianParams
+    count: jnp.ndarray  # scalar step count
+
+
+class GaussianModel:
+    """Host-side container: capacity management, densification, IO.
+
+    The jitted train step consumes `.params` / `.binding` / stats arrays;
+    this class owns everything that changes shape or runs host-side.
+    """
+
+    def __init__(self, sh_degree: int, capacity_granularity: int = 8192):
+        self.max_sh_degree = sh_degree
+        self.active_sh_degree = 0
+        self.capacity_granularity = capacity_granularity
+
+        self.params: GaussianParams | None = None
+        self.n_alive = 0
+        self.binding: np.ndarray | None = None          # [C] int32
+        self.binding_counter: np.ndarray | None = None  # [F] int32
+        self.spatial_lr_scale = 0.0
+
+        # densification stats (device arrays, updated inside the train step)
+        self.max_radii2d: jnp.ndarray | None = None     # [C]
+        self.xyz_gradient_accum: jnp.ndarray | None = None  # [C]
+        self.denom: jnp.ndarray | None = None           # [C]
+
+        self.num_timesteps = 1
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+
+    @property
+    def capacity(self) -> int:
+        return 0 if self.params is None else self.params.xyz.shape[0]
+
+    @property
+    def n_sh_coeffs(self) -> int:
+        return (self.max_sh_degree + 1) ** 2
+
+    def one_up_sh_degree(self):
+        if self.active_sh_degree < self.max_sh_degree:
+            self.active_sh_degree += 1
+
+    def active_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity) < self.n_alive
+
+    def create_from_pcd(self, points: Optional[np.ndarray],
+                        colors: Optional[np.ndarray],
+                        spatial_lr_scale: float, seed: int = 0):
+        """Initialize splats from a point cloud, or one-per-face when bound
+        (reference scene/gaussian_model.py:172-206)."""
+        from gaussianavatars_tpu.ops.sh import rgb2sh
+
+        self.spatial_lr_scale = spatial_lr_scale
+        rng = np.random.default_rng(seed)
+
+        if points is None:
+            assert self.binding is not None, "unbound init needs a point cloud"
+            n = len(self.binding)
+            xyz = np.zeros((n, 3), np.float32)
+            fused_color = (rng.random((n, 3)) / 255.0).astype(np.float32)
+            scales = np.zeros((n, 3), np.float32)  # log(1)
+        else:
+            n = len(points)
+            xyz = np.asarray(points, np.float32)
+            fused_color = rgb2sh(np.asarray(colors, np.float32))
+            from gaussianavatars_tpu.ops.knn import mean_sq_dist_to_3nn
+
+            dist2 = np.maximum(np.asarray(mean_sq_dist_to_3nn(xyz)), 1e-7)
+            scales = np.repeat(
+                np.log(np.sqrt(dist2))[:, None], 3, axis=1
+            ).astype(np.float32)
+
+        k = self.n_sh_coeffs
+        f_dc = np.asarray(fused_color, np.float32).reshape(n, 1, 3)
+        f_rest = np.zeros((n, k - 1, 3), np.float32)
+        rots = np.zeros((n, 4), np.float32)
+        rots[:, 0] = 1.0
+        opac = inverse_sigmoid(0.1 * np.ones((n, 1), np.float32))
+
+        self._install(
+            dict(xyz=xyz, features_dc=f_dc, features_rest=f_rest,
+                 scaling=scales, rotation=rots, opacity=opac), n
+        )
+
+    def _install(self, arrays: dict, n: int):
+        """Pad host arrays to a capacity bucket and move to device."""
+        cap = _round_capacity(n, self.capacity_granularity)
+        self.n_alive = n
+
+        def pad(a, fill=0.0):
+            out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return jnp.asarray(out)
+
+        self.params = GaussianParams(
+            xyz=pad(arrays["xyz"]),
+            features_dc=pad(arrays["features_dc"]),
+            features_rest=pad(arrays["features_rest"]),
+            scaling=pad(arrays["scaling"], _DEAD_LOG_SCALE),
+            rotation=pad(arrays["rotation"] if n else arrays["rotation"]),
+            opacity=pad(arrays["opacity"], _DEAD_OPACITY_LOGIT),
+        )
+        if self.binding is not None:
+            b = np.zeros(cap, np.int32)
+            b[:n] = self.binding[:n] if len(self.binding) >= n else self.binding
+            self.binding = b
+        self.reset_stats()
+
+    def reset_stats(self):
+        cap = self.capacity
+        self.max_radii2d = jnp.zeros((cap,), jnp.float32)
+        self.xyz_gradient_accum = jnp.zeros((cap,), jnp.float32)
+        self.denom = jnp.zeros((cap,), jnp.float32)
+
+    def binding_device(self) -> Optional[jnp.ndarray]:
+        if self.binding is None:
+            return None
+        return jnp.asarray(self.binding, jnp.int32)
+
+    # ------------------------------------------------------------------
+    # Densification (host-side numpy, mirrors reference exactly)
+    # ------------------------------------------------------------------
+
+    def _to_host(self, opt_state: AdamState):
+        p = {k: np.asarray(getattr(self.params, k))[: self.n_alive]
+             for k in GaussianParams._fields}
+        mu = {k: np.asarray(getattr(opt_state.mu, k))[: self.n_alive]
+              for k in GaussianParams._fields}
+        nu = {k: np.asarray(getattr(opt_state.nu, k))[: self.n_alive]
+              for k in GaussianParams._fields}
+        return p, mu, nu
+
+    def _from_host(self, p, mu, nu, count) -> AdamState:
+        n = len(p["xyz"])
+        self._install(p, n)
+
+        cap = self.capacity
+
+        def pad(a):
+            out = np.zeros((cap,) + a.shape[1:], a.dtype)
+            out[:n] = a
+            return jnp.asarray(out)
+
+        mu_t = GaussianParams(**{k: pad(mu[k]) for k in GaussianParams._fields})
+        nu_t = GaussianParams(**{k: pad(nu[k]) for k in GaussianParams._fields})
+        return AdamState(mu=mu_t, nu=nu_t, count=count)
+
+    def densify_and_prune(
+        self,
+        opt_state: AdamState,
+        max_grad: float,
+        min_opacity: float,
+        extent: float,
+        max_screen_size: Optional[float],
+        percent_dense: float,
+        face_scaling: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ) -> AdamState:
+        """Clone + split + prune with optimizer-state surgery.
+
+        Mirrors reference scene/gaussian_model.py:446-515 (including the
+        bound-path quirks: world-scale thresholds, local-frame split
+        sampling, binding inheritance and the never-empty-a-face guard).
+        """
+        rng = np.random.default_rng(seed)
+        p, mu, nu = self._to_host(opt_state)
+        n = self.n_alive
+        binding = None if self.binding is None else self.binding[:n].copy()
+        counter = None if self.binding_counter is None else self.binding_counter.copy()
+
+        grads = np.asarray(self.xyz_gradient_accum)[:n] / np.maximum(
+            np.asarray(self.denom)[:n], 1e-12
+        )
+        grads = np.nan_to_num(grads, nan=0.0)
+        max_radii = np.asarray(self.max_radii2d)[:n]
+
+        def get_world_scaling(p_, binding_):
+            s = np.exp(p_["scaling"])
+            if binding_ is not None:
+                s = s * face_scaling[binding_]
+            return s
+
+        def append(dst, src):
+            return {k: np.concatenate([dst[k], src[k]], 0) for k in dst}
+
+        def zeros_like_fields(src):
+            return {k: np.zeros_like(v) for k, v in src.items()}
+
+        # ---- clone (small, high-grad) reference :481-499 ------------------
+        world_scale = get_world_scaling(p, binding)
+        clone_mask = (grads >= max_grad) & (
+            world_scale.max(1) <= percent_dense * extent
+        )
+        new = {k: v[clone_mask] for k, v in p.items()}
+        p = append(p, new)
+        mu = append(mu, zeros_like_fields({k: v[clone_mask] for k, v in mu.items()}))
+        nu = append(nu, zeros_like_fields({k: v[clone_mask] for k, v in nu.items()}))
+        if binding is not None:
+            nb = binding[clone_mask]
+            binding = np.concatenate([binding, nb])
+            np.add.at(counter, nb, 1)
+
+        # ---- split (large, high-grad) reference :446-479 -------------------
+        n_after_clone = len(p["xyz"])
+        padded_grad = np.zeros(n_after_clone, np.float32)
+        padded_grad[:n] = grads
+        world_scale = get_world_scaling(p, binding)
+        split_mask = (padded_grad >= max_grad) & (
+            world_scale.max(1) > percent_dense * extent
+        )
+        n_split = 2
+        stds = world_scale[split_mask]
+        stds2 = np.tile(stds, (n_split, 1))
+        samples = rng.normal(0.0, 1.0, stds2.shape).astype(np.float32) * stds2
+        from gaussianavatars_tpu.ops.quaternion import quat_to_rotmat
+
+        rots = np.asarray(quat_to_rotmat(jnp.asarray(p["rotation"][split_mask])))
+        rots2 = np.tile(rots, (n_split, 1, 1))
+        new_xyz = np.einsum("nij,nj->ni", rots2, samples) + np.tile(
+            p["xyz"][split_mask], (n_split, 1)
+        )
+        if binding is not None:
+            local_scale = stds / face_scaling[binding[split_mask]]
+            new_scaling = np.log(
+                np.tile(local_scale, (n_split, 1)) / (0.8 * n_split)
+            ).astype(np.float32)
+        else:
+            new_scaling = np.log(stds2 / (0.8 * n_split)).astype(np.float32)
+
+        new = {
+            "xyz": new_xyz.astype(np.float32),
+            "features_dc": np.tile(p["features_dc"][split_mask], (n_split, 1, 1)),
+            "features_rest": np.tile(p["features_rest"][split_mask], (n_split, 1, 1)),
+            "scaling": new_scaling,
+            "rotation": np.tile(p["rotation"][split_mask], (n_split, 1)),
+            "opacity": np.tile(p["opacity"][split_mask], (n_split, 1)),
+        }
+        p = append(p, new)
+        mu = append(mu, zeros_like_fields(new))
+        nu = append(nu, zeros_like_fields(new))
+        if binding is not None:
+            nb = np.tile(binding[split_mask], n_split)
+            binding = np.concatenate([binding, nb])
+            np.add.at(counter, nb, 1)
+
+        # split originals are pruned afterwards
+        prune_split = np.concatenate(
+            [split_mask, np.zeros(n_split * split_mask.sum(), bool)]
+        )
+        p, mu, nu, binding, counter = self._prune(
+            p, mu, nu, binding, counter, prune_split
+        )
+
+        # ---- prune (transparent / oversized) reference :501-513 ------------
+        n_now = len(p["xyz"])
+        opac = 1.0 / (1.0 + np.exp(-p["opacity"][:, 0]))
+        prune_mask = opac < min_opacity
+        if max_screen_size:
+            padded_radii = np.zeros(n_now, np.float32)
+            # radii stats exist only for pre-densify entries
+            keep_old = ~clone_mask.copy()
+            # reference tracks radii for the ORIGINAL n entries; cloned/split
+            # additions have zero radii until the next render
+            radii_orig = np.zeros(n, np.float32)
+            radii_orig[:] = max_radii
+            alive_map = np.ones(n, bool)
+            alive_map &= ~split_mask[:n]
+            # reconstruct: entries 0..n kept unless split-pruned, then appends
+            old_kept = np.where(~split_mask[:n])[0]
+            padded_radii[: len(old_kept)] = radii_orig[old_kept]
+            big_vs = padded_radii > max_screen_size
+            world_scale = get_world_scaling(p, binding)
+            big_ws = world_scale.max(1) > 0.1 * extent
+            prune_mask = prune_mask | big_vs | big_ws
+        p, mu, nu, binding, counter = self._prune(
+            p, mu, nu, binding, counter, prune_mask
+        )
+
+        self.binding = binding
+        self.binding_counter = counter
+        return self._from_host(p, mu, nu, opt_state.count)
+
+    def _prune(self, p, mu, nu, binding, counter, mask):
+        """Drop masked entries; never let a face lose its last gaussian
+        (reference scene/gaussian_model.py:371-398)."""
+        mask = mask.copy()
+        if binding is not None:
+            to_prune = binding[mask]
+            counter_prune = np.zeros_like(counter)
+            np.add.at(counter_prune, to_prune, 1)
+            redundant = (counter - counter_prune) > 0
+            mask[mask] = redundant[to_prune]
+            np.add.at(counter, binding[mask], -1)
+            binding = binding[~mask]
+        keep = ~mask
+        p = {k: v[keep] for k, v in p.items()}
+        mu = {k: v[keep] for k, v in mu.items()}
+        nu = {k: v[keep] for k, v in nu.items()}
+        return p, mu, nu, binding, counter
+
+    def reset_opacity(self, opt_state: AdamState) -> AdamState:
+        """Clamp opacity to <= 0.01 and zero its Adam moments
+        (reference scene/gaussian_model.py:277-280, 334-347)."""
+        opac = jax.nn.sigmoid(self.params.opacity)
+        new = jnp.log(jnp.minimum(opac, 0.01) / (1.0 - jnp.minimum(opac, 0.01)))
+        alive = self.active_mask()[:, None]
+        new = jnp.where(alive, new, _DEAD_OPACITY_LOGIT)
+        self.params = self.params._replace(opacity=new)
+        mu = opt_state.mu._replace(opacity=jnp.zeros_like(opt_state.mu.opacity))
+        nu = opt_state.nu._replace(opacity=jnp.zeros_like(opt_state.nu.opacity))
+        return AdamState(mu=mu, nu=nu, count=opt_state.count)
+
+    # ------------------------------------------------------------------
+    # PLY interchange (bit-compatible with the reference)
+    # ------------------------------------------------------------------
+
+    def save_ply(self, path: str):
+        """reference scene/gaussian_model.py:253-275 layout."""
+        n = self.n_alive
+        p = {k: np.asarray(getattr(self.params, k))[:n]
+             for k in GaussianParams._fields}
+        cols = []
+        xyz = p["xyz"]
+        for i, name in enumerate("xyz"):
+            cols.append((name, xyz[:, i].astype(np.float32)))
+        for name in ("nx", "ny", "nz"):
+            cols.append((name, np.zeros(n, np.float32)))
+        # channel-major flatten: [N, K, 3] -> transpose -> [N, 3*K]
+        f_dc = p["features_dc"].transpose(0, 2, 1).reshape(n, -1)
+        for i in range(f_dc.shape[1]):
+            cols.append((f"f_dc_{i}", f_dc[:, i].astype(np.float32)))
+        f_rest = p["features_rest"].transpose(0, 2, 1).reshape(n, -1)
+        for i in range(f_rest.shape[1]):
+            cols.append((f"f_rest_{i}", f_rest[:, i].astype(np.float32)))
+        cols.append(("opacity", p["opacity"][:, 0].astype(np.float32)))
+        for i in range(3):
+            cols.append((f"scale_{i}", p["scaling"][:, i].astype(np.float32)))
+        for i in range(4):
+            cols.append((f"rot_{i}", p["rotation"][:, i].astype(np.float32)))
+        if self.binding is not None:
+            cols.append(("binding_0", self.binding[:n].astype(np.float32)))
+        plyio.write_ply(path, cols)
+
+    def load_ply(self, path: str):
+        """reference scene/gaussian_model.py:282-332."""
+        d = plyio.read_ply(path)
+        n = len(d["x"])
+        xyz = np.stack([d["x"], d["y"], d["z"]], 1).astype(np.float32)
+        opac = np.asarray(d["opacity"], np.float32)[:, None]
+
+        f_dc = np.stack([d["f_dc_0"], d["f_dc_1"], d["f_dc_2"]], 1)  # [N, 3]
+        f_dc = f_dc.reshape(n, 3, 1).transpose(0, 2, 1).astype(np.float32)
+
+        rest_names = sorted(
+            (k for k in d if k.startswith("f_rest_")),
+            key=lambda s: int(s.split("_")[-1]),
+        )
+        assert len(rest_names) == 3 * (self.n_sh_coeffs - 1), (
+            f"PLY has {len(rest_names)} f_rest coeffs, expected "
+            f"{3 * (self.n_sh_coeffs - 1)} for sh_degree {self.max_sh_degree}"
+        )
+        f_rest = np.stack([d[k] for k in rest_names], 1)
+        f_rest = (
+            f_rest.reshape(n, 3, self.n_sh_coeffs - 1)
+            .transpose(0, 2, 1)
+            .astype(np.float32)
+        )
+
+        scale_names = sorted(
+            (k for k in d if k.startswith("scale_")),
+            key=lambda s: int(s.split("_")[-1]),
+        )
+        scales = np.stack([d[k] for k in scale_names], 1).astype(np.float32)
+        rot_names = sorted(
+            (k for k in d if k.startswith("rot_")),
+            key=lambda s: int(s.split("_")[-1]),
+        )
+        rots = np.stack([d[k] for k in rot_names], 1).astype(np.float32)
+
+        if "binding_0" in d:
+            self.binding = np.asarray(d["binding_0"]).astype(np.int32)
+            if self.binding_counter is not None:
+                counter = np.zeros_like(self.binding_counter)
+                np.add.at(counter, self.binding, 1)
+                self.binding_counter = counter
+
+        self._install(
+            dict(xyz=xyz, features_dc=f_dc, features_rest=f_rest,
+                 scaling=scales, rotation=rots, opacity=opac), n
+        )
+        self.active_sh_degree = self.max_sh_degree
+
+    # ------------------------------------------------------------------
+    # Full training-state checkpoint (reference capture/restore :75-111)
+    # ------------------------------------------------------------------
+
+    def capture(self, opt_state: AdamState) -> dict:
+        n = self.n_alive
+        out = {
+            "active_sh_degree": self.active_sh_degree,
+            "n_alive": n,
+            "spatial_lr_scale": self.spatial_lr_scale,
+            "max_radii2d": np.asarray(self.max_radii2d)[:n],
+            "xyz_gradient_accum": np.asarray(self.xyz_gradient_accum)[:n],
+            "denom": np.asarray(self.denom)[:n],
+            "adam_count": int(opt_state.count),
+        }
+        for k in GaussianParams._fields:
+            out[f"param_{k}"] = np.asarray(getattr(self.params, k))[:n]
+            out[f"mu_{k}"] = np.asarray(getattr(opt_state.mu, k))[:n]
+            out[f"nu_{k}"] = np.asarray(getattr(opt_state.nu, k))[:n]
+        if self.binding is not None:
+            out["binding"] = self.binding[:n]
+            out["binding_counter"] = self.binding_counter
+        return out
+
+    def restore(self, data: dict) -> AdamState:
+        n = int(data["n_alive"])
+        self.active_sh_degree = int(data["active_sh_degree"])
+        self.spatial_lr_scale = float(data["spatial_lr_scale"])
+        if "binding" in data:
+            self.binding = np.asarray(data["binding"], np.int32)
+            self.binding_counter = np.asarray(data["binding_counter"], np.int32)
+        p = {k: data[f"param_{k}"] for k in GaussianParams._fields}
+        mu = {k: data[f"mu_{k}"] for k in GaussianParams._fields}
+        nu = {k: data[f"nu_{k}"] for k in GaussianParams._fields}
+        state = self._from_host(p, mu, nu, jnp.asarray(int(data["adam_count"])))
+        cap = self.capacity
+
+        def pad_stat(a):
+            out = np.zeros(cap, np.float32)
+            out[:n] = a
+            return jnp.asarray(out)
+
+        self.max_radii2d = pad_stat(data["max_radii2d"])
+        self.xyz_gradient_accum = pad_stat(data["xyz_gradient_accum"])
+        self.denom = pad_stat(data["denom"])
+        return state

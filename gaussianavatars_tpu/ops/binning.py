@@ -138,3 +138,46 @@ def bin_gaussians(
         num_tiles_x=ntx,
         num_tiles_y=nty,
     )
+
+
+class AlignedBinning(NamedTuple):
+    """Chunk-aligned relayout of the instance stream.
+
+    Every tile's instance range is padded to a multiple of `chunk`, so blend
+    kernels can process whole chunks without ever straddling a tile boundary
+    (this is what keeps per-tile gradient writes disjoint in the Pallas
+    backward). Dummy slots carry slot_valid=False; callers zero their
+    opacity so they blend as no-ops.
+    """
+
+    gaussian_ids: jnp.ndarray   # [Ka] owner gaussian per aligned slot
+    slot_valid: jnp.ndarray     # [Ka] bool (False = padding slot)
+    tile_starts: jnp.ndarray    # [T] int32, multiples of chunk
+    tile_ends: jnp.ndarray      # [T] int32, multiples of chunk
+    total: jnp.ndarray          # [] int32 true aligned demand (overflow probe)
+
+
+def chunk_align(binning: TileBinning, chunk: int, capacity: int) -> AlignedBinning:
+    """Relayout the sorted stream so each tile occupies whole chunks."""
+    counts = binning.tile_ends - binning.tile_starts
+    pad_counts = ((counts + chunk - 1) // chunk) * chunk
+    astarts = jnp.cumsum(pad_counts) - pad_counts
+    aends = astarts + pad_counts
+    total = aends[-1] if aends.shape[0] > 0 else jnp.int32(0)
+
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    tile = jnp.searchsorted(aends, slots, side="right").astype(jnp.int32)
+    tile = jnp.minimum(tile, aends.shape[0] - 1)
+    local = slots - astarts[tile]
+    valid = (local < counts[tile]) & (slots < total)
+    src = jnp.minimum(
+        binning.tile_starts[tile] + local, binning.gaussian_ids.shape[0] - 1
+    )
+    gid = binning.gaussian_ids[src]
+    return AlignedBinning(
+        gaussian_ids=gid,
+        slot_valid=valid,
+        tile_starts=astarts,
+        tile_ends=aends,
+        total=total,
+    )

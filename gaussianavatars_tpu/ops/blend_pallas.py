@@ -1,0 +1,438 @@
+"""Pallas TPU kernels for the tile blend (forward + backward).
+
+Implements exactly the chunk recurrence specified in ops/tile_blend.py (see
+that module's docstring for the math derivation and the reference CUDA
+semantics being reproduced), mapped onto TPU hardware:
+
+  * grid = one program per 16x16 pixel tile (sequential on a TensorCore,
+    auto double-buffered output blocks)
+  * per-tile instance ranges arrive via scalar prefetch (SMEM), so the
+    kernel DMAs only its own chunk-aligned slice of the instance stream
+    from HBM (ragged access without atomics or dynamic allocation)
+  * instance data is packed feature-major as a (16, K) f32 array so a chunk
+    DMA moves an aligned (16, CHUNK) block (lanes = CHUNK = 128)
+  * alpha/transmittance math is (P, CHUNK)-shaped VPU work (P = 256 pixels
+    on sublanes); color accumulation and the backward reductions are
+    dot_generals that land on the MXU
+  * the early-out is a real `while` loop: saturated tiles stop issuing DMAs
+    (same work-skipping the CUDA kernel gets from its done flag)
+
+Layouts:
+  inst pack  (16, K):  rows 0:2 mean2d, 2:5 conic, 5:8 color, 8 opacity
+  image pack (T, 4, P): rows 0:3 color, 3 transmittance (P = tile pixels)
+  grad pack  (16, K):  rows 0:2 dmean2d, 2:5 dconic, 5:8 dcolor, 8 dopacity
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+LOG_T_EPS = math.log(1e-4)
+
+ROW_MX, ROW_MY = 0, 1
+ROW_CXX, ROW_CXY, ROW_CYY = 2, 3, 4
+ROW_R, ROW_G, ROW_B = 5, 6, 7
+ROW_OP = 8
+PACK_ROWS = 16
+
+
+# ----------------------------------------------------------------------------
+# Packing helpers (plain jnp, outside the kernels)
+# ----------------------------------------------------------------------------
+
+def pack_instances(means2d, conics, colors, opacities, k_pad):
+    """[K,2]/[K,3]/[K,3]/[K] -> (16, k_pad) f32 feature-major pack."""
+    k = means2d.shape[0]
+    rows = jnp.concatenate(
+        [means2d.T, conics.T, colors.T, opacities[None, :]], axis=0
+    )  # (9, K)
+    rows = jnp.pad(rows, ((0, PACK_ROWS - rows.shape[0]), (0, k_pad - k)))
+    return rows.astype(jnp.float32)
+
+
+def unpack_grads(grad_pack, k):
+    """(16, k_pad) -> per-field grads with original length K."""
+    g = grad_pack[:, :k]
+    return (
+        g[ROW_MX:ROW_MY + 1].T,       # [K, 2]
+        g[ROW_CXX:ROW_CYY + 1].T,     # [K, 3]
+        g[ROW_R:ROW_B + 1].T,         # [K, 3]
+        g[ROW_OP],                    # [K]
+    )
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad):
+    """[T,2] float ranges -> [T,4] int32 (start, end, tile_px, tile_py).
+
+    Ends are clamped to the packed capacity so an overflowing stream (true
+    demand > capacity bucket) can never drive a DMA out of bounds; the
+    overflow itself is reported upstream via AlignedBinning.total.
+    """
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_xy = jnp.stack(
+        [(tiles % ntx) * tile_size, (tiles // ntx) * tile_size], axis=-1
+    )
+    r = jnp.clip(ranges.astype(jnp.int32), 0, k_pad)
+    return jnp.concatenate([r, tile_xy], axis=-1)
+
+
+def _interpret():
+    """Pallas interpret mode off-TPU (keeps the CPU test mesh working)."""
+    return jax.default_backend() != "tpu"
+
+
+def _cumsum_lanes(x, chunk):
+    """Inclusive cumsum along the lane axis via an upper-triangular matmul.
+
+    Mosaic has no cumsum primitive; a (P,CH) @ triu(CH,CH) dot_general runs
+    on the MXU and is faster than a log-shift scan at CH=128 anyway.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (rows <= cols).astype(jnp.float32)
+    return jax.lax.dot_general(
+        x, tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _pix_coords(tile_size, p):
+    """Local pixel coordinates as (P, 1) f32 columns."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (idx % tile_size).astype(jnp.float32)
+    py = (idx // tile_size).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_geometry(data, pix_x, pix_y):
+    """Shared fwd/bwd chunk math. data (16, CH); pix (P, 1).
+
+    Returns (alpha, lo, dx, dy, expw, unclamped, okmask) all (P, CH).
+    """
+    dx = data[ROW_MX, :][None, :] - pix_x          # (P, CH)
+    dy = data[ROW_MY, :][None, :] - pix_y
+    power = (
+        -0.5 * (data[ROW_CXX, :][None, :] * dx * dx
+                + data[ROW_CYY, :][None, :] * dy * dy)
+        - data[ROW_CXY, :][None, :] * dx * dy
+    )
+    expw = jnp.exp(jnp.minimum(power, 0.0))
+    e = data[ROW_OP, :][None, :] * expw
+    alpha = jnp.minimum(ALPHA_MAX, e)
+    ok = (power <= 0.0) & (e >= ALPHA_MIN)
+    alpha = jnp.where(ok, alpha, 0.0)
+    unclamped = ok & (e < ALPHA_MAX)
+    return alpha, dx, dy, expw, unclamped
+
+
+# ----------------------------------------------------------------------------
+# Forward kernel
+# ----------------------------------------------------------------------------
+
+def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sem,
+                logt_all, logt_app, color_acc, *, tile_size, chunk):
+    p = tile_size * tile_size
+    t = pl.program_id(0)
+    start = ranges_ref[t, 0]
+    end = ranges_ref[t, 1]
+
+    pix_x, pix_y = _pix_coords(tile_size, p)
+    # tile origin: the caller passes tile_xy through ranges columns 2,3
+    pix_x = pix_x + ranges_ref[t, 2].astype(jnp.float32)
+    pix_y = pix_y + ranges_ref[t, 3].astype(jnp.float32)
+
+    logt_all[...] = jnp.zeros_like(logt_all)
+    logt_app[...] = jnp.zeros_like(logt_app)
+    color_acc[...] = jnp.zeros_like(color_acc)
+
+    def cond(offset):
+        return (offset < end) & (jnp.max(logt_all[...]) >= LOG_T_EPS)
+
+    def body(offset):
+        # chunk-aligned by construction (ops/binning.chunk_align)
+        offset = pl.multiple_of(offset, chunk)
+        dma = pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds(offset, chunk)], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+        data = scratch[...]
+
+        alpha, _, _, _, _ = _chunk_geometry(data, pix_x, pix_y)
+        lo = jnp.log1p(-alpha)                              # (P, CH)
+        cum = _cumsum_lanes(lo, chunk)
+        mask = (logt_all[...] + cum) >= LOG_T_EPS
+        weight = jnp.where(
+            mask, alpha * jnp.exp(logt_app[...] + (cum - lo)), 0.0
+        )
+
+        colors = data[ROW_R:ROW_B + 1, :]                   # (3, CH)
+        contrib = jax.lax.dot_general(
+            colors, weight,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                    # (3, P)
+        color_acc[...] += contrib.T                          # (P, 3)
+        logt_all[...] += cum[:, -1:]
+        logt_app[...] += jnp.sum(lo * mask, axis=1, keepdims=True)
+        return offset + chunk
+
+    jax.lax.while_loop(cond, body, start)
+
+    out_ref[0, 0:3, :] = color_acc[...].T
+    out_ref[0, 3, :] = jnp.exp(logt_app[...])[:, 0]
+
+
+def blend_image_fwd_pallas(
+    means2d, conics, colors, opacities, ranges,
+    width, height, tile_size, chunk,
+):
+    """Forward blend on TPU. Same contract as the jnp backend in
+    ops/tile_blend.py (returns ([3,H,W] color-no-bg, [H,W] T))."""
+    ntx, nty = -(-width // tile_size), -(-height // tile_size)
+    num_tiles = ntx * nty
+    p = tile_size * tile_size
+    k = means2d.shape[0]
+    k_pad = _round_up(max(k, chunk), chunk)
+
+    inst = pack_instances(means2d, conics, colors, opacities, k_pad)
+    ranges_i = _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad)
+
+    kernel = functools.partial(_fwd_kernel, tile_size=tile_size, chunk=chunk)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.VMEM((p, 3), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(ranges_i, inst)
+
+    img = out.reshape(nty, ntx, 4, tile_size, tile_size)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(4, nty * tile_size, ntx * tile_size)
+    img = img[:, :height, :width]
+    return img[0:3], img[3]
+
+
+# ----------------------------------------------------------------------------
+# Backward kernel
+# ----------------------------------------------------------------------------
+
+def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
+                scratch, gscratch, sem, gsem,
+                logt_all, logt_app, s_prefix, *, tile_size, chunk):
+    p = tile_size * tile_size
+    t = pl.program_id(0)
+    start = ranges_ref[t, 0]
+    end = ranges_ref[t, 1]
+
+    pix_x, pix_y = _pix_coords(tile_size, p)
+    pix_x = pix_x + ranges_ref[t, 2].astype(jnp.float32)
+    pix_y = pix_y + ranges_ref[t, 3].astype(jnp.float32)
+
+    out_color = outpack_ref[0, 0:3, :]                      # (3, P)
+    out_t = outpack_ref[0, 3, :]                            # (P,)
+    g_color = gpack_ref[0, 0:3, :]                          # (3, P)
+    g_t = gpack_ref[0, 3, :]                                # (P,)
+
+    # S_total = G . C_out per pixel; gt_term = g_t * T_final.
+    s_total = jnp.sum(g_color * out_color, axis=0)[:, None]  # (P, 1)
+    gt_term = (g_t * out_t)[:, None]                         # (P, 1)
+
+    logt_all[...] = jnp.zeros_like(logt_all)
+    logt_app[...] = jnp.zeros_like(logt_app)
+    s_prefix[...] = jnp.zeros_like(s_prefix)
+
+    def cond(offset):
+        return (offset < end) & (jnp.max(logt_all[...]) >= LOG_T_EPS)
+
+    def body(offset):
+        # chunk-aligned by construction (ops/binning.chunk_align)
+        offset = pl.multiple_of(offset, chunk)
+        dma = pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds(offset, chunk)], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+        data = scratch[...]
+
+        alpha, dx, dy, expw, unclamped = _chunk_geometry(data, pix_x, pix_y)
+        lo = jnp.log1p(-alpha)
+        cum = _cumsum_lanes(lo, chunk)
+        mask = (logt_all[...] + cum) >= LOG_T_EPS
+        t_before = jnp.exp(logt_app[...] + (cum - lo))       # (P, CH)
+        weight = jnp.where(mask, alpha * t_before, 0.0)
+
+        colors = data[ROW_R:ROW_B + 1, :]                    # (3, CH)
+        cg = jax.lax.dot_general(
+            g_color, colors,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                     # (P, CH)
+        dw = cg * weight
+        s_incl = s_prefix[...] + _cumsum_lanes(dw, chunk)     # (P, CH)
+
+        inv_om = 1.0 / (1.0 - alpha)
+        d_alpha = jnp.where(
+            mask,
+            cg * t_before - (s_total - s_incl) * inv_om - gt_term * inv_om,
+            0.0,
+        )
+        d_alpha = jnp.where(unclamped, d_alpha, 0.0)
+        d_power = d_alpha * alpha
+
+        cxx = data[ROW_CXX, :][None, :]
+        cxy = data[ROW_CXY, :][None, :]
+        cyy = data[ROW_CYY, :][None, :]
+        gm_x = d_power * (-(cxx * dx + cxy * dy))             # (P, CH)
+        gm_y = d_power * (-(cyy * dy + cxy * dx))
+        gc_xx = d_power * (-0.5 * dx * dx)
+        gc_xy = d_power * (-dx * dy)
+        gc_yy = d_power * (-0.5 * dy * dy)
+        d_op = jnp.where(unclamped & mask, d_alpha, 0.0) * expw
+
+        # reduce over pixels -> (CH,) rows of the grad pack
+        gscratch[ROW_MX, :] = jnp.sum(gm_x, axis=0)
+        gscratch[ROW_MY, :] = jnp.sum(gm_y, axis=0)
+        gscratch[ROW_CXX, :] = jnp.sum(gc_xx, axis=0)
+        gscratch[ROW_CXY, :] = jnp.sum(gc_xy, axis=0)
+        gscratch[ROW_CYY, :] = jnp.sum(gc_yy, axis=0)
+        dcol = jax.lax.dot_general(
+            g_color, weight,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                     # (3, CH)
+        gscratch[ROW_R:ROW_B + 1, :] = dcol
+        gscratch[ROW_OP, :] = jnp.sum(d_op, axis=0)
+        gscratch[ROW_OP + 1:, :] = jnp.zeros(
+            (PACK_ROWS - ROW_OP - 1, chunk), jnp.float32
+        )
+
+        wdma = pltpu.make_async_copy(
+            gscratch, grad_hbm.at[:, pl.ds(offset, chunk)], gsem
+        )
+        wdma.start()
+        wdma.wait()
+
+        logt_all[...] += cum[:, -1:]
+        logt_app[...] += jnp.sum(lo * mask, axis=1, keepdims=True)
+        s_prefix[...] = s_incl[:, -1:]
+        return offset + chunk
+
+    offset = jax.lax.while_loop(cond, body, start)
+
+    # Zero-fill grads for chunks skipped by the early-out.
+    def zcond(off):
+        return off < end
+
+    def zbody(off):
+        off = pl.multiple_of(off, chunk)
+        gscratch[...] = jnp.zeros_like(gscratch)
+        wdma = pltpu.make_async_copy(
+            gscratch, grad_hbm.at[:, pl.ds(off, chunk)], gsem
+        )
+        wdma.start()
+        wdma.wait()
+        return off + chunk
+
+    jax.lax.while_loop(zcond, zbody, offset)
+
+
+def blend_image_bwd_pallas(
+    means2d, conics, colors, opacities, ranges,
+    out_color_img, out_t_img, g_color_img, g_t_img,
+    width, height, tile_size, chunk,
+):
+    """Backward blend on TPU: per-instance gradient pack -> unpacked."""
+    ntx, nty = -(-width // tile_size), -(-height // tile_size)
+    num_tiles = ntx * nty
+    p = tile_size * tile_size
+    k = means2d.shape[0]
+    k_pad = _round_up(max(k, chunk), chunk)
+
+    inst = pack_instances(means2d, conics, colors, opacities, k_pad)
+
+    def to_pack(color_img, t_img):
+        x = jnp.concatenate([color_img, t_img[None]], axis=0)  # (4, H, W)
+        x = jnp.pad(
+            x, ((0, 0), (0, nty * tile_size - height), (0, ntx * tile_size - width))
+        )
+        x = x.reshape(4, nty, tile_size, ntx, tile_size)
+        return x.transpose(1, 3, 0, 2, 4).reshape(num_tiles, 4, p)
+
+    outpack = to_pack(out_color_img, out_t_img)
+    gpack = to_pack(g_color_img, g_t_img)
+
+    ranges_i = _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad)
+
+    kernel = functools.partial(_bwd_kernel, tile_size=tile_size, chunk=chunk)
+    grad_pack = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
+                pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.VMEM((p, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((PACK_ROWS, k_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        interpret=_interpret(),
+    )(ranges_i, inst, outpack, gpack)
+
+    # Slots past the covered stream were never written by any tile; zero
+    # them before unpacking (coverage is contiguous from 0 to the last end).
+    covered = jnp.arange(k_pad, dtype=jnp.int32)[None, :] < ranges_i[-1, 1]
+    grad_pack = jnp.where(covered, grad_pack, 0.0)
+    return unpack_grads(grad_pack, k)

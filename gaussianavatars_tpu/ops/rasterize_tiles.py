@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gaussianavatars_tpu.ops.binning import bin_gaussians
+from gaussianavatars_tpu.ops.binning import bin_gaussians, chunk_align
 from gaussianavatars_tpu.ops.projection import (
     CameraParams,
     ProjectedGaussians,
@@ -82,17 +82,21 @@ def rasterize(
         tile_size,
         capacity,
     )
+    # Chunk-aligned relayout: every tile owns whole chunks, which lets the
+    # Pallas backward write per-tile gradient chunks without overlap and
+    # keeps both backends on one canonical layout.
+    aligned = chunk_align(binning, chunk, capacity)
 
-    ids = binning.gaussian_ids
+    ids = aligned.gaussian_ids
     # Differentiable gather: gradients flow from per-instance grads back to
     # per-gaussian tensors via the transpose (segment-sum) of this gather.
     inst_means2d = proj.means2d[ids]
     inst_conics = proj.conics[ids]
     inst_colors = proj.colors[ids]
-    inst_opac = jnp.where(binning.instance_valid, proj.opacities[ids], 0.0)
+    inst_opac = jnp.where(aligned.slot_valid, proj.opacities[ids], 0.0)
 
     ranges = jnp.stack(
-        [binning.tile_starts, binning.tile_ends], axis=-1
+        [aligned.tile_starts, aligned.tile_ends], axis=-1
     ).astype(jnp.float32)
 
     color, trans = blend_image(
@@ -106,5 +110,5 @@ def rasterize(
         transmittance=trans,
         radii=proj.radii,
         visibility=proj.valid,
-        instance_total=binning.total,
+        instance_total=aligned.total,
     )

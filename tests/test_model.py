@@ -1,0 +1,205 @@
+"""GaussianModel state management: init, IO, adam, densification surgery."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianavatars_tpu.models.gaussians import (
+    AdamState,
+    GaussianModel,
+    GaussianParams,
+    world_space_gaussians,
+    FaceFrames,
+)
+from gaussianavatars_tpu.ops.knn import mean_sq_dist_to_3nn
+from gaussianavatars_tpu.train import optim
+
+
+def test_knn_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    ours = np.asarray(mean_sq_dist_to_3nn(jnp.asarray(pts), block=64))
+    d2 = ((pts[:, None] - pts[None, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    ref = np.sort(d2, axis=1)[:, :3].mean(1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_adam_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(1)
+    p0 = rng.normal(size=(32, 3)).astype(np.float32)
+    grads = [rng.normal(size=(32, 3)).astype(np.float32) for _ in range(5)]
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    topt = torch.optim.Adam([tp], lr=0.01, eps=1e-15)
+    for g in grads:
+        tp.grad = torch.from_numpy(g)
+        topt.step()
+
+    params = {"p": jnp.asarray(p0)}
+    mu, nu, count = optim.init(params)
+    for g in grads:
+        params, mu, nu, count = optim.apply(
+            params, {"p": jnp.asarray(g)}, mu, nu, count, {"p": 0.01}
+        )
+    np.testing.assert_allclose(
+        np.asarray(params["p"]), tp.detach().numpy(), atol=1e-6
+    )
+
+
+def make_model(n=100, bound=False, n_faces=40, seed=0):
+    rng = np.random.default_rng(seed)
+    m = GaussianModel(sh_degree=2, capacity_granularity=64)
+    if bound:
+        binding = rng.integers(0, n_faces, n).astype(np.int32)
+        binding[:n_faces] = np.arange(n_faces)  # every face covered
+        m.binding = binding
+        counter = np.zeros(n_faces, np.int32)
+        np.add.at(counter, binding, 1)
+        m.binding_counter = counter
+        m.create_from_pcd(None, None, spatial_lr_scale=1.0)
+        # bound init creates one per face; install our custom binding count
+        assert m.n_alive == n
+    else:
+        pts = rng.normal(size=(n, 3)).astype(np.float32)
+        cols = rng.random((n, 3)).astype(np.float32)
+        m.create_from_pcd(pts, cols, spatial_lr_scale=2.0)
+    return m
+
+
+def test_create_unbound_and_ply_roundtrip(tmp_path):
+    m = make_model(n=100)
+    assert m.n_alive == 100
+    assert m.capacity == 128
+    path = str(tmp_path / "point_cloud.ply")
+    m.save_ply(path)
+
+    m2 = GaussianModel(sh_degree=2)
+    m2.load_ply(path)
+    assert m2.n_alive == 100
+    for k in GaussianParams._fields:
+        a = np.asarray(getattr(m.params, k))[:100]
+        b = np.asarray(getattr(m2.params, k))[:100]
+        np.testing.assert_array_equal(a, b, err_msg=k)
+    assert m2.active_sh_degree == 2
+
+
+def test_bound_create_uses_binding():
+    rng = np.random.default_rng(3)
+    m = GaussianModel(sh_degree=1, capacity_granularity=64)
+    n_faces = 30
+    m.binding = np.arange(n_faces, dtype=np.int32)
+    m.binding_counter = np.ones(n_faces, np.int32)
+    m.create_from_pcd(None, None, spatial_lr_scale=1.0)
+    assert m.n_alive == n_faces
+    # bound init: zero local xyz, log(1)=0 scales
+    np.testing.assert_array_equal(np.asarray(m.params.xyz)[:n_faces], 0.0)
+    np.testing.assert_array_equal(np.asarray(m.params.scaling)[:n_faces], 0.0)
+
+    frames = FaceFrames(
+        center=jnp.asarray(rng.normal(size=(n_faces, 3)).astype(np.float32)),
+        orient_mat=jnp.broadcast_to(jnp.eye(3), (n_faces, 3, 3)),
+        orient_quat=jnp.broadcast_to(
+            jnp.asarray([1.0, 0, 0, 0]), (n_faces, 4)
+        ),
+        scaling=jnp.asarray(rng.uniform(0.5, 2, (n_faces, 1)).astype(np.float32)),
+    )
+    means, scales, quats, opac, shs = world_space_gaussians(
+        m.params, m.binding_device(), frames
+    )
+    # local xyz=0 => world position = face center
+    np.testing.assert_allclose(
+        np.asarray(means)[:n_faces], np.asarray(frames.center), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(scales)[:n_faces],
+        np.asarray(frames.scaling) * np.ones(3), atol=1e-6,
+    )
+
+
+def test_densify_clone_split_prune():
+    m = make_model(n=100)
+    state = AdamState(*(lambda t: (t[0], t[1]))(optim.init(m.params)[:2]),
+                      count=jnp.zeros((), jnp.int32))
+    # fabricate stats: first 10 high grad; make 5 of them huge (split),
+    # 5 small (clone); entries 90..99 transparent (prune)
+    grads = np.zeros(128, np.float32)
+    grads[:10] = 1.0
+    m.xyz_gradient_accum = jnp.asarray(grads)
+    m.denom = jnp.asarray(np.ones(128, np.float32))
+    m.max_radii2d = jnp.zeros(128)
+
+    scaling = np.asarray(m.params.scaling).copy()
+    scaling[:5] = np.log(10.0)     # huge -> split
+    scaling[5:10] = np.log(1e-3)   # small -> clone
+    opacity = np.asarray(m.params.opacity).copy()
+    opacity[90:100] = -10.0        # sigmoid ~ 4.5e-5 < 0.005 -> prune
+    m.params = m.params._replace(
+        scaling=jnp.asarray(scaling), opacity=jnp.asarray(opacity)
+    )
+
+    n_before = m.n_alive
+    state = m.densify_and_prune(
+        state, max_grad=0.5, min_opacity=0.005, extent=10.0,
+        max_screen_size=None, percent_dense=0.01,
+    )
+    # 100 - 5 split originals + 10 split children + 5 clones - 10 pruned
+    assert m.n_alive == n_before - 5 + 10 + 5 - 10
+    # adam state shape matches capacity
+    assert state.mu.xyz.shape == m.params.xyz.shape
+
+
+def test_densify_binding_guard():
+    """A face must never lose its last gaussian."""
+    m = GaussianModel(sh_degree=1, capacity_granularity=64)
+    m.binding = np.arange(10, dtype=np.int32)
+    m.binding_counter = np.ones(10, np.int32)
+    m.create_from_pcd(None, None, spatial_lr_scale=1.0)
+    mu, nu, count = optim.init(m.params)
+    state = AdamState(mu=mu, nu=nu, count=count)
+
+    # make everything transparent -> naive prune would empty all faces
+    opacity = np.full((64, 1), -10.0, np.float32)
+    m.params = m.params._replace(opacity=jnp.asarray(opacity))
+    m.xyz_gradient_accum = jnp.zeros(64)
+    m.denom = jnp.ones(64)
+    m.max_radii2d = jnp.zeros(64)
+
+    face_scaling = np.ones((10, 1), np.float32)
+    m.densify_and_prune(
+        state, max_grad=0.5, min_opacity=0.005, extent=10.0,
+        max_screen_size=None, percent_dense=0.01, face_scaling=face_scaling,
+    )
+    assert m.n_alive == 10  # guard kept one per face
+    counter = np.zeros(10, np.int32)
+    np.add.at(counter, m.binding[:m.n_alive], 1)
+    assert (counter >= 1).all()
+
+
+def test_reset_opacity():
+    m = make_model(n=50)
+    mu, nu, count = optim.init(m.params)
+    state = AdamState(mu=mu, nu=nu, count=count)
+    state = m.reset_opacity(state)
+    opac = jax.nn.sigmoid(np.asarray(m.params.opacity)[:50])
+    assert (opac <= 0.01 + 1e-6).all()
+    assert float(jnp.abs(state.mu.opacity).max()) == 0.0
+
+
+def test_capture_restore_roundtrip():
+    m = make_model(n=70)
+    mu, nu, count = optim.init(m.params)
+    state = AdamState(mu=mu, nu=nu, count=jnp.asarray(5, jnp.int32))
+    data = m.capture(state)
+
+    m2 = GaussianModel(sh_degree=2, capacity_granularity=64)
+    state2 = m2.restore(data)
+    assert m2.n_alive == 70
+    np.testing.assert_array_equal(
+        np.asarray(m.params.xyz)[:70], np.asarray(m2.params.xyz)[:70]
+    )
+    assert int(state2.count) == 5

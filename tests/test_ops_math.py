@@ -210,17 +210,35 @@ class TestImageMetrics:
         val = float(ssim(img, other))
         assert -1.0 <= val < 0.9
 
-    def test_ssim_matches_skimage(self):
-        from skimage.metrics import structural_similarity
+    def test_ssim_matches_torch_reference_formula(self):
+        """Independent torch implementation of the reference SSIM
+        (utils/loss_utils.py:23-63 semantics: 11x11 sigma-1.5 gaussian
+        window, zero-padded depthwise conv, C1=0.01^2, C2=0.03^2)."""
+        import torch
+        import torch.nn.functional as F
 
         rng = np.random.default_rng(1)
-        a = rng.random((64, 64)).astype(np.float32)
-        b = np.clip(a + 0.1 * rng.random((64, 64)).astype(np.float32), 0, 1)
-        ours = float(ssim(jnp.asarray(a[None]), jnp.asarray(b[None])))
-        theirs = structural_similarity(
-            a, b, win_size=11, sigma=1.5, gaussian_weights=True,
-            use_sample_covariance=False, data_range=1.0,
-        )
-        # boundary handling differs (we use zero padding like the torch conv);
-        # interior dominates so they agree closely
-        assert abs(ours - theirs) < 2e-2
+        a = rng.random((3, 64, 64)).astype(np.float32)
+        b = np.clip(a + 0.1 * rng.random((3, 64, 64)).astype(np.float32), 0, 1)
+
+        xs = np.arange(11) - 5
+        g = np.exp(-(xs**2) / (2 * 1.5**2)).astype(np.float32)
+        g /= g.sum()
+        win = torch.from_numpy(np.outer(g, g).astype(np.float32))
+        win = win.expand(3, 1, 11, 11)
+
+        ta, tb = torch.from_numpy(a)[None], torch.from_numpy(b)[None]
+
+        def filt(x):
+            return F.conv2d(x, win, padding=5, groups=3)
+
+        mu1, mu2 = filt(ta), filt(tb)
+        s1 = filt(ta * ta) - mu1**2
+        s2 = filt(tb * tb) - mu2**2
+        s12 = filt(ta * tb) - mu1 * mu2
+        c1, c2 = 0.01**2, 0.03**2
+        ref = (((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+               / ((mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))).mean().item()
+
+        ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(ours - ref) < 1e-5
