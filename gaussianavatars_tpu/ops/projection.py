@@ -79,7 +79,10 @@ def compute_cov2d(
     ones = jnp.ones_like(mean3d[..., :1])
     t = jnp.matmul(jnp.concatenate([mean3d, ones], axis=-1), viewmatrix,
                   precision=jax.lax.Precision.HIGHEST)  # [N, 4]
-    tz = t[..., 2]
+    # Culled gaussians (z <= 0.2) never reach the blend, but their jacobian
+    # must stay finite: a 0-cotangent times an inf-jacobian is NaN, and the
+    # NaN would leak into shared upstream params (FLAME pose/expr).
+    tz = jnp.maximum(t[..., 2], 0.2)
 
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
@@ -167,7 +170,10 @@ def project_gaussians(
     in_front = depths > 0.2
 
     p_hom = jnp.matmul(hom, camera.projmatrix, precision=hi)
-    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    # same finite-jacobian guard as in compute_cov2d: w == view z for this
+    # projection, and only z > 0.2 survives culling
+    w_safe = jnp.where(in_front, p_hom[..., 3], 1.0)
+    p_w = 1.0 / (w_safe + 1e-7)
     ndc = p_hom[..., :3] * p_w[..., None]
     ndc_xy = ndc[..., :2]
     if means2d_offset is not None:

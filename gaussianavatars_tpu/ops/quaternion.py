@@ -12,13 +12,18 @@ All functions are vectorized over leading batch dims and differentiable.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Normalize quaternions along the last axis."""
-    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(norm, eps)
+def quat_normalize(q: jnp.ndarray, eps: float = 1e-24) -> jnp.ndarray:
+    """Normalize quaternions along the last axis.
+
+    The clamp sits INSIDE the sqrt so the zero quaternion has a zero (not
+    NaN) gradient: sqrt's infinite slope at 0 never meets the chain rule.
+    """
+    norm2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    return q * jax.lax.rsqrt(jnp.maximum(norm2, eps))
 
 
 def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

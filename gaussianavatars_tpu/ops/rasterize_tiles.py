@@ -57,6 +57,7 @@ def rasterize(
     means2d_offset: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
+    active: jnp.ndarray | None = None,
 ) -> RenderOutput:
     """Differentiable tile-based splat render.
 
@@ -71,6 +72,13 @@ def rasterize(
         colors_precomp=colors_precomp,
         cov3d_precomp=cov3d_precomp,
     )
+    if active is not None:
+        # capacity-padding slots: geometrically projectable but dead — keep
+        # them out of binning entirely (no instances, radius 0)
+        proj = proj._replace(
+            valid=proj.valid & active,
+            radii=jnp.where(active, proj.radii, 0),
+        )
 
     binning = bin_gaussians(
         jax.lax.stop_gradient(proj.means2d),
