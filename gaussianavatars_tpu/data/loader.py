@@ -1,0 +1,119 @@
+"""Host-side prefetching camera/image loader.
+
+Replaces the reference's torch DataLoader worker processes
+(train.py:55, scene/__init__.py:31-67) with a thread-pool prefetcher: image
+decode + background compositing + resize happen on host threads while the
+TPU runs the previous step, and arrays arrive ready for jax.device_put.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from gaussianavatars_tpu.data.cameras import Camera
+
+
+def load_camera_image(cam: Camera, resolution_arg: int = -1,
+                      resolution_scale: float = 1.0) -> np.ndarray:
+    """Decode + composite + resize one view. Returns [3, H, W] float32.
+
+    Mirrors reference scene/__init__.py:38-63: RGBA images composite onto
+    the camera background; resize follows the 1600px auto-cap policy.
+    """
+    from PIL import Image, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+
+    w, h = cam.resolution(resolution_arg, resolution_scale)
+    with Image.open(cam.image_path) as im:
+        im = im.resize((w, h))
+        arr = np.asarray(im).astype(np.float32) / 255.0
+
+    if arr.ndim == 2:
+        arr = arr[..., None].repeat(3, axis=-1)
+    if arr.shape[-1] == 4:
+        rgb, alpha = arr[..., :3], arr[..., 3:4]
+        arr = rgb * alpha + cam.bg[None, None, :] * (1.0 - alpha)
+    return np.transpose(arr[..., :3], (2, 0, 1)).copy()
+
+
+class CameraLoader:
+    """Iterates (camera, gt_image) pairs forever with background prefetch."""
+
+    def __init__(self, cameras: list[Camera], resolution_arg: int = -1,
+                 shuffle: bool = True, prefetch: int = 4,
+                 num_threads: int = 4, seed: int = 0,
+                 loop: bool = True):
+        assert len(cameras) > 0
+        self.cameras = cameras
+        self.resolution_arg = resolution_arg
+        self.shuffle = shuffle
+        self.loop = loop
+        self.rng = random.Random(seed)
+        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = []
+        self._order_lock = threading.Lock()
+        self._order: list[int] = []
+        self._epoch_pos = 0
+        self._served = 0
+        for _ in range(num_threads):
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _next_index(self) -> Optional[int]:
+        with self._order_lock:
+            if self._epoch_pos >= len(self._order):
+                if not self.loop and self._served >= len(self.cameras):
+                    return None
+                self._order = list(range(len(self.cameras)))
+                if self.shuffle:
+                    self.rng.shuffle(self._order)
+                self._epoch_pos = 0
+            idx = self._order[self._epoch_pos]
+            self._epoch_pos += 1
+            self._served += 1
+            return idx
+
+    def _worker(self):
+        while not self._stop.is_set():
+            idx = self._next_index()
+            if idx is None:
+                return
+            cam = self.cameras[idx]
+            try:
+                img = load_camera_image(cam, self.resolution_arg)
+                item = (cam, img)
+            except Exception as exc:  # surface loader errors to the consumer
+                item = (cam, exc)
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(item, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[tuple[Camera, np.ndarray]]:
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        cam, img = item
+        if isinstance(img, Exception):
+            raise img
+        return cam, img
+
+    def stop(self):
+        self._stop.set()
+
+
+def iterate_once(cameras: list[Camera], resolution_arg: int = -1):
+    """Simple sequential iteration (eval sweeps)."""
+    for cam in cameras:
+        yield cam, load_camera_image(cam, resolution_arg)

@@ -39,13 +39,9 @@ from gaussianavatars_tpu.ops.lbs import (
 )
 from gaussianavatars_tpu.utils.obj import load_obj
 
-FLAME_ASSET_DIR = os.environ.get(
-    "FLAME_ASSET_DIR", "flame_model/assets/flame"
-)
-
-
 def _default_path(name: str) -> str:
-    return os.path.join(FLAME_ASSET_DIR, name)
+    asset_dir = os.environ.get("FLAME_ASSET_DIR", "flame_model/assets/flame")
+    return os.path.join(asset_dir, name)
 
 
 # ----------------------------------------------------------------------------

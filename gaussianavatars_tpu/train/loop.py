@@ -1,0 +1,505 @@
+"""Training driver: jitted step + host-side schedule.
+
+TPU-native re-architecture of reference train.py:35-214. One jitted
+function fuses the whole hot path — FLAME drive, binding chain, tile
+rasterization (Pallas), loss, backward, Adam, densification-stat update —
+while the host loop owns everything event-driven: camera feeding,
+densify/prune/reset (numpy surgery, every ~2k steps), eval sweeps, saving,
+checkpointing. Recompilation happens only when a capacity bucket grows.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianavatars_tpu.config import (
+    ModelConfig,
+    OptimizationConfig,
+    PipelineConfig,
+    save_config,
+)
+from gaussianavatars_tpu.data.loader import CameraLoader, iterate_once
+from gaussianavatars_tpu.data.scene import Scene
+from gaussianavatars_tpu.models.flame_gaussians import FlameGaussianModel
+from gaussianavatars_tpu.models.gaussians import (
+    AdamState,
+    GaussianModel,
+    world_space_gaussians,
+)
+from gaussianavatars_tpu.ops.projection import CameraParams
+from gaussianavatars_tpu.ops.rasterize_tiles import rasterize
+from gaussianavatars_tpu.train import optim
+from gaussianavatars_tpu.train.losses import compute_losses
+from gaussianavatars_tpu.utils.image import psnr
+from gaussianavatars_tpu.utils.schedules import expon_lr
+from gaussianavatars_tpu.ops.ssim import ssim as ssim_metric
+from gaussianavatars_tpu.utils.image import l1_loss as l1_metric
+
+
+class CameraArrays(NamedTuple):
+    """Dynamic per-view inputs (static width/height live in the jit key)."""
+
+    viewmatrix: jnp.ndarray
+    projmatrix: jnp.ndarray
+    campos: jnp.ndarray
+    tan_fovx: jnp.ndarray
+    tan_fovy: jnp.ndarray
+
+
+def camera_arrays(params: CameraParams) -> CameraArrays:
+    return CameraArrays(
+        viewmatrix=params.viewmatrix,
+        projmatrix=params.projmatrix,
+        campos=params.campos,
+        tan_fovx=jnp.asarray(params.tan_fovx, jnp.float32),
+        tan_fovy=jnp.asarray(params.tan_fovy, jnp.float32),
+    )
+
+
+class StepState(NamedTuple):
+    """Device-side training state threaded through the jitted step."""
+
+    params: object            # GaussianParams
+    flame_tr: dict            # trainable FLAME subset (may be empty)
+    mu: object
+    nu: object
+    count: jnp.ndarray
+    max_radii2d: jnp.ndarray
+    grad_accum: jnp.ndarray
+    denom: jnp.ndarray
+
+
+def make_train_step(model, opt_cfg: OptimizationConfig,
+                    pipe_cfg: PipelineConfig, width: int, height: int,
+                    sh_degree: int, num_timesteps: int):
+    """Build the jitted train step for one image resolution + capacity."""
+    bound = getattr(model, "binding", None) is not None
+    flame_model = getattr(model, "flame_model", None)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StepState, flame_fixed: dict, binding, active,
+             cam: CameraArrays, gt_image, bg, timestep, lrs):
+        camera = CameraParams(
+            viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+            campos=cam.campos, tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+            width=width, height=height,
+        )
+        capacity_n = state.params.xyz.shape[0]
+
+        def loss_fn(params, flame_tr, means2d_offset):
+            if bound:
+                flame_full = {**flame_fixed, **flame_tr}
+                verts, verts_cano = model.verts_at(
+                    flame_full, timestep, return_verts_cano=True
+                )
+                from gaussianavatars_tpu.models.flame_gaussians import (
+                    face_frames_from_verts,
+                )
+
+                frames = face_frames_from_verts(
+                    verts[0], flame_model.j_faces
+                )
+                face_scaling_pg = frames.scaling[binding]
+            else:
+                frames = None
+                verts_cano = None
+                flame_full = None
+                face_scaling_pg = None
+
+            means3d, scales, quats, opac, shs = world_space_gaussians(
+                params, binding if bound else None, frames
+            )
+            out = rasterize(
+                means3d, scales, quats, opac, shs, sh_degree, camera, bg,
+                capacity=pipe_cfg.capacity,
+                tile_size=pipe_cfg.tile_size,
+                chunk=pipe_cfg.chunk,
+                backend=pipe_cfg.backend,
+                means2d_offset=means2d_offset,
+                active=active,
+            )
+            image = out.image
+
+            total, losses = compute_losses(
+                image, gt_image, out.visibility, params.xyz, params.scaling,
+                face_scaling_pg, opt_cfg, bound,
+            )
+            if bound:
+                if opt_cfg.lambda_dynamic_offset != 0.0:
+                    losses["dy_off"] = model.compute_dynamic_offset_loss(
+                        flame_full, timestep
+                    ) * opt_cfg.lambda_dynamic_offset
+                    total = total + losses["dy_off"]
+                if opt_cfg.lambda_dynamic_offset_std != 0.0:
+                    std = flame_full["dynamic_offset"].std(axis=0).mean()
+                    losses["dynamic_offset_std"] = (
+                        std * opt_cfg.lambda_dynamic_offset_std
+                    )
+                    total = total + losses["dynamic_offset_std"]
+                if opt_cfg.lambda_laplacian != 0.0:
+                    losses["lap"] = model.compute_laplacian_loss(
+                        flame_full, timestep, verts_cano
+                    ) * opt_cfg.lambda_laplacian
+                    total = total + losses["lap"]
+            losses["total"] = total
+            aux = (losses, out.radii, out.visibility, out.instance_total)
+            return total, aux
+
+        zeros_off = jnp.zeros((capacity_n, 2), jnp.float32)
+        grads, aux = jax.grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(state.params, state.flame_tr, zeros_off)
+        g_params, g_flame, g_means2d = grads
+        losses, radii, visibility, instance_total = aux
+
+        # one Adam step over the combined pytree
+        combined = {"gauss": state.params, "flame": state.flame_tr}
+        combined_g = {"gauss": g_params, "flame": g_flame}
+        new_p, new_mu, new_nu, new_count = optim.apply(
+            combined, combined_g, state.mu, state.nu, state.count, lrs
+        )
+
+        # densification statistics (reference train.py:196-198)
+        vis = visibility
+        grad_norm = jnp.linalg.norm(g_means2d, axis=-1)
+        grad_accum = state.grad_accum + jnp.where(vis, grad_norm, 0.0)
+        denom = state.denom + vis.astype(jnp.float32)
+        max_radii = jnp.maximum(
+            state.max_radii2d, jnp.where(vis, radii.astype(jnp.float32), 0.0)
+        )
+
+        new_state = StepState(
+            params=new_p["gauss"], flame_tr=new_p["flame"],
+            mu=new_mu, nu=new_nu, count=new_count,
+            max_radii2d=max_radii, grad_accum=grad_accum, denom=denom,
+        )
+        return new_state, losses, instance_total
+
+    return step
+
+
+def make_render_fn(model, pipe_cfg: PipelineConfig, width: int, height: int,
+                   sh_degree: int):
+    """Jitted inference render (used by eval sweeps and offline render)."""
+    bound = getattr(model, "binding", None) is not None
+
+    @jax.jit
+    def render(params, flame_param: dict, binding, active,
+               cam: CameraArrays, bg, timestep):
+        camera = CameraParams(
+            viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
+            campos=cam.campos, tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+            width=width, height=height,
+        )
+        if bound:
+            frames = model.face_frames_at(flame_param, timestep)
+        else:
+            frames = None
+        means3d, scales, quats, opac, shs = world_space_gaussians(
+            params, binding if bound else None, frames
+        )
+        out = rasterize(
+            means3d, scales, quats, opac, shs, sh_degree, camera, bg,
+            capacity=pipe_cfg.capacity, tile_size=pipe_cfg.tile_size,
+            chunk=pipe_cfg.chunk, backend=pipe_cfg.backend, active=active,
+        )
+        return out.image
+
+    return render
+
+
+# ----------------------------------------------------------------------------
+# Host-side driver
+# ----------------------------------------------------------------------------
+
+def lr_pytree(opt_cfg: OptimizationConfig, xyz_lr: float, flame_tr: dict,
+              spatial_lr_scale: float):
+    from gaussianavatars_tpu.models.gaussians import GaussianParams
+
+    gauss = GaussianParams(
+        xyz=xyz_lr,
+        features_dc=opt_cfg.feature_lr,
+        features_rest=opt_cfg.feature_lr / 20.0,
+        scaling=opt_cfg.scaling_lr,
+        rotation=opt_cfg.rotation_lr,
+        opacity=opt_cfg.opacity_lr,
+    )
+    flame_lrs = {}
+    for k in flame_tr:
+        if k in ("rotation", "neck_pose", "jaw_pose", "eyes_pose"):
+            flame_lrs[k] = opt_cfg.flame_pose_lr
+        elif k == "translation":
+            flame_lrs[k] = opt_cfg.flame_trans_lr
+        elif k == "expr":
+            flame_lrs[k] = opt_cfg.flame_expr_lr
+    return {"gauss": gauss, "flame": flame_lrs}
+
+
+def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
+             pipe_cfg: PipelineConfig, testing_iterations=(),
+             saving_iterations=(), checkpoint_iterations=(),
+             start_checkpoint: Optional[str] = None,
+             log_every: int = 10,
+             tb_writer=None):
+    """Full optimization loop (reference train.py:35-214)."""
+    os.makedirs(model_cfg.model_path, exist_ok=True)
+    save_config(model_cfg.model_path, model_cfg)
+
+    if model_cfg.bind_to_mesh:
+        model = FlameGaussianModel(
+            model_cfg.sh_degree,
+            model_cfg.disable_flame_static_offset,
+            model_cfg.not_finetune_flame_params,
+        )
+    else:
+        model = GaussianModel(model_cfg.sh_degree)
+
+    scene = Scene(model_cfg, model)
+    bound = getattr(model, "binding", None) is not None
+
+    first_iter = 0
+    flame_tr = model.flame_trainable() if bound else {}
+    combined = {"gauss": model.params, "flame": flame_tr}
+    mu, nu, count = optim.init(combined)
+
+    if start_checkpoint:
+        data = dict(np.load(start_checkpoint, allow_pickle=True))
+        first_iter = int(data.pop("iteration"))
+        state_g = model.restore(
+            {k[2:]: v for k, v in data.items() if k.startswith("g_")}
+        )
+        flame_tr = {
+            k[2:]: jnp.asarray(v) for k, v in data.items()
+            if k.startswith("f_")
+        }
+        model.merge_flame_trainable(flame_tr)
+        combined = {"gauss": model.params, "flame": flame_tr}
+        mu = {"gauss": state_g.mu, "flame": jax.tree.map(jnp.zeros_like, flame_tr)}
+        nu = {"gauss": state_g.nu, "flame": jax.tree.map(jnp.zeros_like, flame_tr)}
+        count = state_g.count
+
+    flame_fixed = (
+        {k: v for k, v in model.flame_param.items() if k not in flame_tr}
+        if bound else {}
+    )
+    bg = jnp.asarray(
+        [1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0]
+    )
+
+    loader = CameraLoader(
+        scene.get_train_cameras(), resolution_arg=model_cfg.resolution
+    )
+
+    step_fns = {}
+    state = StepState(
+        params=model.params, flame_tr=flame_tr, mu=mu, nu=nu,
+        count=count,
+        max_radii2d=model.max_radii2d,
+        grad_accum=model.xyz_gradient_accum,
+        denom=model.denom,
+    )
+
+    ema_loss = 0.0
+    t_start = time.time()
+    history = []
+
+    for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
+        # xyz LR schedule (reference train.py:106)
+        xyz_lr = float(expon_lr(
+            iteration, opt_cfg.position_lr_init * model.spatial_lr_scale,
+            opt_cfg.position_lr_final * model.spatial_lr_scale,
+            lr_delay_mult=opt_cfg.position_lr_delay_mult,
+            max_steps=opt_cfg.position_lr_max_steps,
+        ))
+
+        # SH warmup (reference train.py:109-110)
+        if iteration % 1000 == 0:
+            model.one_up_sh_degree()
+
+        cam, gt = next(loader)
+        params_cam = cam.to_params(*cam.resolution(model_cfg.resolution))
+        key = (params_cam.width, params_cam.height, model.capacity,
+               model.active_sh_degree)
+        if key not in step_fns:
+            step_fns[key] = make_train_step(
+                model, opt_cfg, pipe_cfg, params_cam.width,
+                params_cam.height, model.active_sh_degree,
+                model.num_timesteps,
+            )
+        lrs = lr_pytree(opt_cfg, xyz_lr, state.flame_tr, model.spatial_lr_scale)
+        timestep = jnp.asarray(cam.timestep or 0, jnp.int32)
+        cam_bg = jnp.asarray(cam.bg, jnp.float32)
+
+        state, losses, instance_total = step_fns[key](
+            state, flame_fixed, model.binding_device() if bound else None,
+            model.active_mask(),
+            camera_arrays(params_cam), jnp.asarray(gt), cam_bg,
+            timestep, lrs,
+        )
+
+        if int(instance_total) > pipe_cfg.capacity:
+            print(f"[warn] instance overflow {int(instance_total)} > "
+                  f"{pipe_cfg.capacity}; growing bucket")
+            pipe_cfg.capacity = int(1.5 * int(instance_total))
+            step_fns.clear()
+
+        total = float(losses["total"])
+        ema_loss = 0.4 * total + 0.6 * ema_loss
+        if iteration % log_every == 0:
+            history.append((iteration, ema_loss))
+            if tb_writer is not None:
+                for k, v in losses.items():
+                    tb_writer.add_scalar(
+                        f"train_loss_patches/{k}_loss", float(v), iteration
+                    )
+                tb_writer.add_scalar("total_points", model.n_alive, iteration)
+
+        # write back for host-side surgery steps
+        model.params = state.params
+        model.max_radii2d = state.max_radii2d
+        model.xyz_gradient_accum = state.grad_accum
+        model.denom = state.denom
+        if bound:
+            model.merge_flame_trainable(state.flame_tr)
+
+        if iteration in saving_iterations:
+            scene.save(iteration)
+
+        # densification (reference train.py:194-205)
+        if iteration < opt_cfg.densify_until_iter:
+            if (iteration > opt_cfg.densify_from_iter
+                    and iteration % opt_cfg.densification_interval == 0):
+                size_threshold = (
+                    20 if iteration > opt_cfg.opacity_reset_interval else None
+                )
+                face_scaling = None
+                if bound:
+                    frames = model.face_frames_at(
+                        model.flame_param, int(cam.timestep or 0)
+                    )
+                    face_scaling = np.asarray(frames.scaling)
+                adam_g = AdamState(
+                    mu=state.mu["gauss"], nu=state.nu["gauss"],
+                    count=state.count,
+                )
+                adam_g = model.densify_and_prune(
+                    adam_g, opt_cfg.densify_grad_threshold, 0.005,
+                    scene.cameras_extent, size_threshold,
+                    opt_cfg.percent_dense, face_scaling,
+                    seed=iteration,
+                )
+                state = StepState(
+                    params=model.params, flame_tr=state.flame_tr,
+                    mu={"gauss": adam_g.mu, "flame": state.mu["flame"]},
+                    nu={"gauss": adam_g.nu, "flame": state.nu["flame"]},
+                    count=state.count,
+                    max_radii2d=model.max_radii2d,
+                    grad_accum=model.xyz_gradient_accum,
+                    denom=model.denom,
+                )
+                step_fns.clear()
+
+            if iteration % opt_cfg.opacity_reset_interval == 0 or (
+                model_cfg.white_background
+                and iteration == opt_cfg.densify_from_iter
+            ):
+                adam_g = AdamState(
+                    mu=state.mu["gauss"], nu=state.nu["gauss"],
+                    count=state.count,
+                )
+                adam_g = model.reset_opacity(adam_g)
+                state = state._replace(
+                    params=model.params,
+                    mu={"gauss": adam_g.mu, "flame": state.mu["flame"]},
+                    nu={"gauss": adam_g.nu, "flame": state.nu["flame"]},
+                )
+
+        if iteration in testing_iterations:
+            metrics = evaluate_splits(
+                model, scene, model_cfg, pipe_cfg, state, flame_fixed, bg
+            )
+            for split, m in metrics.items():
+                print(f"[ITER {iteration}] Evaluating {split}: "
+                      + " ".join(f"{k} {v:.4f}" for k, v in m.items()))
+                if tb_writer is not None:
+                    for k, v in m.items():
+                        tb_writer.add_scalar(
+                            f"{split}/loss_viewpoint - {k}", v, iteration
+                        )
+
+        if iteration in checkpoint_iterations:
+            save_checkpoint(
+                model, state, iteration,
+                os.path.join(model_cfg.model_path, f"chkpnt{iteration}.npz"),
+            )
+
+    loader.stop()
+    elapsed = time.time() - t_start
+    return model, state, {"ema_loss": ema_loss, "elapsed": elapsed,
+                          "history": history}
+
+
+def save_checkpoint(model, state: StepState, iteration: int, path: str):
+    adam_g = AdamState(mu=state.mu["gauss"], nu=state.nu["gauss"],
+                       count=state.count)
+    data = {f"g_{k}": v for k, v in model.capture(adam_g).items()}
+    for k, v in state.flame_tr.items():
+        data[f"f_{k}"] = np.asarray(v)
+    data["iteration"] = iteration
+    np.savez(path, **data)
+
+
+_EVAL_RENDER_FNS: dict = {}
+
+
+def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
+                    flame_fixed, bg):
+    """Val (novel view) + test (self-reenactment) sweeps
+    (reference train.py:256-314)."""
+    bound = getattr(model, "binding", None) is not None
+    flame_full = {**flame_fixed, **state.flame_tr} if bound else {}
+    results = {}
+    render_fns = _EVAL_RENDER_FNS.setdefault(
+        (id(model), pipe_cfg.backend, pipe_cfg.capacity, model.capacity,
+         model.active_sh_degree), {}
+    )
+    for split, cameras in (
+        ("val", scene.get_val_cameras()), ("test", scene.get_test_cameras()),
+    ):
+        if not cameras:
+            continue
+        l1s, psnrs, ssims = [], [], []
+        for cam, gt in iterate_once(cameras, model_cfg.resolution):
+            p = cam.to_params(*cam.resolution(model_cfg.resolution))
+            key = (p.width, p.height)
+            if key not in render_fns:
+                render_fns[key] = make_render_fn(
+                    model, pipe_cfg, p.width, p.height, model.active_sh_degree
+                )
+            img = render_fns[key](
+                state.params, flame_full,
+                model.binding_device() if bound else None,
+                model.active_mask(), camera_arrays(p),
+                jnp.asarray(cam.bg, jnp.float32),
+                jnp.asarray(cam.timestep or 0, jnp.int32),
+            )
+            img = jnp.clip(img, 0.0, 1.0)
+            gt_j = jnp.clip(jnp.asarray(gt), 0.0, 1.0)
+            l1s.append(float(l1_metric(img, gt_j)))
+            psnrs.append(float(psnr(img, gt_j)[0]))
+            ssims.append(float(ssim_metric(img, gt_j)))
+        results[split] = {
+            "l1_loss": float(np.mean(l1s)),
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)),
+        }
+    return results

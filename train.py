@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Training CLI (reference train.py:316-353 interface).
+
+Usage:
+    python train.py -s <data_dir> -m <output_dir> --bind_to_mesh --eval ...
+"""
+
+import sys
+from argparse import ArgumentParser
+
+import gaussianavatars_tpu.utils.jax_setup  # noqa: F401  (compile cache)
+from gaussianavatars_tpu.config import (
+    ModelConfig,
+    OptimizationConfig,
+    PipelineConfig,
+)
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="Training script parameters")
+    ModelConfig.add_to_parser(parser)
+    OptimizationConfig.add_to_parser(parser)
+    PipelineConfig.add_to_parser(parser)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--detect_anomaly", action="store_true", default=False)
+    parser.add_argument(
+        "--interval", type=int, default=60_000,
+        help="shared iteration interval for test/save/checkpoint",
+    )
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--no_gui", action="store_true",
+                        help="disable the network GUI server")
+    args = parser.parse_args(argv)
+
+    if args.interval > args.iterations:
+        args.interval = args.iterations // 5
+    schedule = list(range(args.interval, args.iterations + 1, args.interval))
+    if not args.test_iterations:
+        args.test_iterations = schedule
+    if not args.save_iterations:
+        args.save_iterations = schedule
+    if not args.checkpoint_iterations:
+        args.checkpoint_iterations = schedule
+
+    import jax
+
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    model_cfg = ModelConfig.extract(args)
+    opt_cfg = OptimizationConfig.extract(args)
+    pipe_cfg = PipelineConfig.extract(args)
+
+    print("Optimizing " + model_cfg.model_path)
+
+    tb_writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(model_cfg.model_path)
+    except ImportError:
+        print("tensorboardX not available: not logging progress")
+
+    from gaussianavatars_tpu.train.loop import training
+
+    training(
+        model_cfg, opt_cfg, pipe_cfg,
+        testing_iterations=set(args.test_iterations),
+        saving_iterations=set(args.save_iterations),
+        checkpoint_iterations=set(args.checkpoint_iterations),
+        start_checkpoint=args.start_checkpoint,
+        tb_writer=tb_writer,
+    )
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
