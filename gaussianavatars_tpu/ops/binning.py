@@ -80,6 +80,8 @@ def bin_gaussians(
     height: int,
     tile_size: int,
     capacity: int,
+    tile_row_start: int = 0,
+    tile_rows: int | None = None,
 ) -> TileBinning:
     """Build the tile-major depth-sorted instance stream.
 
@@ -89,12 +91,23 @@ def bin_gaussians(
       radii: [N] int pixel radii (0 = culled).
       valid: [N] bool.
       width/height/tile_size/capacity: static ints.
+      tile_row_start/tile_rows: optional static window of tile rows to bin
+        (the tile-sharding hook: each device bins only the rows it blends;
+        tile ids are local to the window).
     """
     n = means2d.shape[0]
-    ntx, nty = tile_grid(width, height, tile_size)
+    ntx, nty_full = tile_grid(width, height, tile_size)
+    # tile_row_start may be traced (device-dependent under shard_map), so
+    # the row count must come from the static tile_rows when windowed
+    nty = nty_full if tile_rows is None else tile_rows
     num_tiles = ntx * nty
 
-    x0, y0, x1, y1 = compute_tile_rects(means2d, radii, width, height, tile_size)
+    x0, y0, x1, y1 = compute_tile_rects(
+        means2d, radii, width, height, tile_size
+    )
+    # restrict to the local tile-row window; y becomes window-local
+    y0 = jnp.clip(y0 - tile_row_start, 0, nty)
+    y1 = jnp.clip(y1 - tile_row_start, 0, nty)
     rw = jnp.maximum(x1 - x0, 0)
     rh = jnp.maximum(y1 - y0, 0)
     counts = jnp.where(valid, rw * rh, 0).astype(jnp.int32)

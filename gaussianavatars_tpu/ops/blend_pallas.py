@@ -73,7 +73,7 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad):
+def _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad, py_offset=0):
     """[T,2] float ranges -> [T,4] int32 (start, end, tile_px, tile_py).
 
     Ends are clamped to the packed capacity so an overflowing stream (true
@@ -82,7 +82,9 @@ def _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad):
     """
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_xy = jnp.stack(
-        [(tiles % ntx) * tile_size, (tiles // ntx) * tile_size], axis=-1
+        [(tiles % ntx) * tile_size,
+         (tiles // ntx) * tile_size
+         + jnp.asarray(py_offset, jnp.int32)], axis=-1
     )
     r = jnp.clip(ranges.astype(jnp.int32), 0, k_pad)
     return jnp.concatenate([r, tile_xy], axis=-1)
@@ -200,7 +202,7 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sem,
 
 def blend_image_fwd_pallas(
     means2d, conics, colors, opacities, ranges,
-    width, height, tile_size, chunk,
+    width, height, tile_size, chunk, py_offset=0,
 ):
     """Forward blend on TPU. Same contract as the jnp backend in
     ops/tile_blend.py (returns ([3,H,W] color-no-bg, [H,W] T))."""
@@ -211,7 +213,8 @@ def blend_image_fwd_pallas(
     k_pad = _round_up(max(k, chunk), chunk)
 
     inst = pack_instances(means2d, conics, colors, opacities, k_pad)
-    ranges_i = _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad)
+    ranges_i = _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad,
+                               py_offset)
 
     kernel = functools.partial(_fwd_kernel, tile_size=tile_size, chunk=chunk)
     out = pl.pallas_call(
@@ -373,7 +376,7 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
 def blend_image_bwd_pallas(
     means2d, conics, colors, opacities, ranges,
     out_color_img, out_t_img, g_color_img, g_t_img,
-    width, height, tile_size, chunk,
+    width, height, tile_size, chunk, py_offset=0,
 ):
     """Backward blend on TPU: per-instance gradient pack -> unpacked."""
     ntx, nty = -(-width // tile_size), -(-height // tile_size)
@@ -395,7 +398,8 @@ def blend_image_bwd_pallas(
     outpack = to_pack(out_color_img, out_t_img)
     gpack = to_pack(g_color_img, g_t_img)
 
-    ranges_i = _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad)
+    ranges_i = _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad,
+                               py_offset)
 
     kernel = functools.partial(_bwd_kernel, tile_size=tile_size, chunk=chunk)
     grad_pack = pl.pallas_call(

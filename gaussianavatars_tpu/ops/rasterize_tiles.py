@@ -58,6 +58,8 @@ def rasterize(
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
     active: jnp.ndarray | None = None,
+    tile_row_start=0,
+    tile_rows: int | None = None,
 ) -> RenderOutput:
     """Differentiable tile-based splat render.
 
@@ -89,6 +91,8 @@ def rasterize(
         camera.height,
         tile_size,
         capacity,
+        tile_row_start=tile_row_start,
+        tile_rows=tile_rows,
     )
     # Chunk-aligned relayout: every tile owns whole chunks, which lets the
     # Pallas backward write per-tile gradient chunks without overlap and
@@ -107,9 +111,17 @@ def rasterize(
         [aligned.tile_starts, aligned.tile_ends], axis=-1
     ).astype(jnp.float32)
 
+    # slab height is static: full image without a window, else the window's
+    # tile rows (possibly running past the image bottom; callers crop)
+    py_offset = jnp.asarray(tile_row_start, jnp.int32) * tile_size
+    if tile_rows is None:
+        slab_h = camera.height
+    else:
+        slab_h = tile_rows * tile_size
+
     color, trans = blend_image(
-        inst_means2d, inst_conics, inst_colors, inst_opac, ranges,
-        camera.width, camera.height, tile_size, chunk, backend,
+        inst_means2d, inst_conics, inst_colors, inst_opac, ranges, py_offset,
+        camera.width, slab_h, tile_size, chunk, backend,
     )
     image = color + trans[None, :, :] * bg[:, None, None]
 

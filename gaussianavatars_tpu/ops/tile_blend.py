@@ -86,13 +86,14 @@ def _pad_instances(arr, chunk):
 # ----------------------------------------------------------------------------
 
 def _blend_tile_fwd(
-    tile_idx, start, end, inst: BlendInputs, tile_size: int, chunk: int, ntx: int
+    tile_idx, start, end, inst: BlendInputs, tile_size: int, chunk: int,
+    ntx: int, py_offset: int = 0,
 ):
     """Blend one tile. Returns (color [P,3], t_final [P])."""
     p = tile_size * tile_size
     dtype = inst.means2d.dtype
     tx = (tile_idx % ntx).astype(dtype) * tile_size
-    ty = (tile_idx // ntx).astype(dtype) * tile_size
+    ty = (tile_idx // ntx).astype(dtype) * tile_size + py_offset
     pix = _tile_pixel_coords(tile_size, dtype) + jnp.stack([tx, ty])[None, :]
 
     means_p = _pad_instances(inst.means2d, chunk)
@@ -126,11 +127,14 @@ def _blend_tile_fwd(
         log_t_app = log_t_app + jnp.sum(lo * mask, axis=0)
         return offset + chunk, color, log_t_all, log_t_app
 
+    # seed zeros from the input so carries inherit shard_map's varying-axes
+    # type (pvary) when blending runs inside a manual mesh region
+    zvar = inst.means2d.reshape(-1)[0] * 0.0
     init = (
         start,
-        jnp.zeros((p, 3), dtype),
-        jnp.zeros((p,), dtype),
-        jnp.zeros((p,), dtype),
+        jnp.zeros((p, 3), dtype) + zvar,
+        jnp.zeros((p,), dtype) + zvar,
+        jnp.zeros((p,), dtype) + zvar,
     )
     _, color, _, log_t_app = jax.lax.while_loop(cond, body, init)
     return color, jnp.exp(log_t_app)
@@ -142,7 +146,7 @@ def _blend_tile_fwd(
 
 def _blend_tile_bwd(
     tile_idx, start, end, inst: BlendInputs, out_color, out_t, g_color, g_t,
-    tile_size: int, chunk: int, ntx: int, capacity: int,
+    tile_size: int, chunk: int, ntx: int, capacity: int, py_offset: int = 0,
 ):
     """VJP for one tile.
 
@@ -156,7 +160,7 @@ def _blend_tile_bwd(
     p = tile_size * tile_size
     dtype = inst.means2d.dtype
     tx = (tile_idx % ntx).astype(dtype) * tile_size
-    ty = (tile_idx // ntx).astype(dtype) * tile_size
+    ty = (tile_idx // ntx).astype(dtype) * tile_size + py_offset
     pix = _tile_pixel_coords(tile_size, dtype) + jnp.stack([tx, ty])[None, :]
 
     means_p = _pad_instances(inst.means2d, chunk)
@@ -246,12 +250,13 @@ def _blend_tile_bwd(
         return (offset + chunk, log_t_all, log_t_app, s_prefix,
                 d_means, d_conics, d_colors, d_opac)
 
+    zvar = inst.means2d.reshape(-1)[0] * 0.0
     init = (
         start,
-        jnp.zeros((p,), dtype),
-        jnp.zeros((p,), dtype),
-        jnp.zeros((p,), dtype),
-        d_means, d_conics, d_colors, d_opac,
+        jnp.zeros((p,), dtype) + zvar,
+        jnp.zeros((p,), dtype) + zvar,
+        jnp.zeros((p,), dtype) + zvar,
+        d_means + zvar, d_conics + zvar, d_colors + zvar, d_opac + zvar,
     )
     state = jax.lax.while_loop(cond, body, init)
     _, _, _, _, d_means, d_conics, d_colors, d_opac = state
@@ -265,9 +270,9 @@ def _blend_tile_bwd(
 # Public API: full-image blend over all tiles, custom VJP
 # ----------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def blend_image(
-    means2d, conics, colors, opacities, ranges,
+    means2d, conics, colors, opacities, ranges, py_offset,
     width: int, height: int, tile_size: int, chunk: int, backend: str,
 ):
     """Blend the sorted instance stream into a full image.
@@ -278,20 +283,23 @@ def blend_image(
       ranges: [T, 2] float32 (start, end) per tile (cast to int inside; float
         so custom_vjp cotangent bookkeeping stays uniform).
       width/height/tile_size/chunk: static ints.
+      py_offset: [] float32 global pixel-row offset of this slab (traced so
+        tile-row sharding can derive it from the device's axis index).
       backend: 'jnp' (portable) or 'pallas' (TPU kernels).
 
     Returns:
-      (color [3, H, W] without background, transmittance [H, W]).
+      (color [3, H, W] without background, transmittance [H, W]) where H is
+      the slab height passed as `height`.
     """
     out, _ = _blend_image_fwd_impl(
-        means2d, conics, colors, opacities, ranges,
+        means2d, conics, colors, opacities, ranges, py_offset,
         width, height, tile_size, chunk, backend,
     )
     return out
 
 
 def _blend_image_fwd_impl(
-    means2d, conics, colors, opacities, ranges,
+    means2d, conics, colors, opacities, ranges, py_offset,
     width, height, tile_size, chunk, backend,
 ):
     if backend == "pallas":
@@ -299,7 +307,7 @@ def _blend_image_fwd_impl(
 
         out = blend_pallas.blend_image_fwd_pallas(
             means2d, conics, colors, opacities, ranges,
-            width, height, tile_size, chunk,
+            width, height, tile_size, chunk, py_offset,
         )
         return out, out
 
@@ -309,7 +317,8 @@ def _blend_image_fwd_impl(
     ends = ranges[:, 1].astype(jnp.int32)
 
     def tile_fn(t):
-        return _blend_tile_fwd(t, starts[t], ends[t], inst, tile_size, chunk, ntx)
+        return _blend_tile_fwd(t, starts[t], ends[t], inst, tile_size, chunk,
+                               ntx, py_offset)
 
     tiles = jnp.arange(ntx * nty, dtype=jnp.int32)
     color_t, trans_t = jax.lax.map(tile_fn, tiles)  # [T, P, 3], [T, P]
@@ -338,19 +347,20 @@ def _retile(img, ntx, nty, ts):
 
 
 def _blend_image_fwd(
-    means2d, conics, colors, opacities, ranges,
+    means2d, conics, colors, opacities, ranges, py_offset,
     width, height, tile_size, chunk, backend,
 ):
     out, _ = _blend_image_fwd_impl(
-        means2d, conics, colors, opacities, ranges,
+        means2d, conics, colors, opacities, ranges, py_offset,
         width, height, tile_size, chunk, backend,
     )
-    residuals = (means2d, conics, colors, opacities, ranges, out)
+    residuals = (means2d, conics, colors, opacities, ranges, py_offset, out)
     return out, residuals
 
 
-def _blend_image_bwd(width, height, tile_size, chunk, backend, residuals, cots):
-    means2d, conics, colors, opacities, ranges, out = residuals
+def _blend_image_bwd(width, height, tile_size, chunk, backend,
+                     residuals, cots):
+    means2d, conics, colors, opacities, ranges, py_offset, out = residuals
     g_color_img, g_t_img = cots
     out_color_img, out_t_img = out
 
@@ -360,10 +370,11 @@ def _blend_image_bwd(width, height, tile_size, chunk, backend, residuals, cots):
         grads = blend_pallas.blend_image_bwd_pallas(
             means2d, conics, colors, opacities, ranges,
             out_color_img, out_t_img, g_color_img, g_t_img,
-            width, height, tile_size, chunk,
+            width, height, tile_size, chunk, py_offset,
         )
         d_means, d_conics, d_colors, d_opac = grads
-        return (d_means, d_conics, d_colors, d_opac, jnp.zeros_like(ranges))
+        return (d_means, d_conics, d_colors, d_opac, jnp.zeros_like(ranges),
+                jnp.zeros_like(py_offset))
 
     ntx, nty = -(-width // tile_size), -(-height // tile_size)
     capacity = means2d.shape[0]
@@ -381,7 +392,7 @@ def _blend_image_bwd(width, height, tile_size, chunk, backend, residuals, cots):
         tm, tc, tcol, to = _blend_tile_bwd(
             t, starts[t], ends[t], inst,
             out_color_t[t], out_t_t[t], g_color_t[t], g_t_t[t],
-            tile_size, chunk, ntx, capacity,
+            tile_size, chunk, ntx, capacity, py_offset,
         )
         return (d_means + tm, d_conics + tc, d_colors + tcol, d_opac + to), None
 
@@ -393,7 +404,8 @@ def _blend_image_bwd(width, height, tile_size, chunk, backend, residuals, cots):
     )
     tiles = jnp.arange(ntx * nty, dtype=jnp.int32)
     (d_means, d_conics, d_colors, d_opac), _ = jax.lax.scan(tile_fn, init, tiles)
-    return (d_means, d_conics, d_colors, d_opac, jnp.zeros_like(ranges))
+    return (d_means, d_conics, d_colors, d_opac, jnp.zeros_like(ranges),
+            jnp.zeros_like(py_offset))
 
 
 blend_image.defvjp(_blend_image_fwd, _blend_image_bwd)

@@ -1,0 +1,311 @@
+"""shard_map render + train step over the ('data', 'prim') mesh.
+
+The splatting pipeline decomposes across the `prim` axis in two phases:
+
+  phase 1 (gaussian-sharded): binding chain + EWA projection run on each
+      device's gaussian shard — embarrassingly parallel per-gaussian math
+  re-shard: `all_gather` of the projected per-gaussian screen quantities
+      (~40 B/gaussian) over ICI — the SP-style exchange
+  phase 2 (tile-sharded): each device bins + blends only its static window
+      of tile rows against the full projected set; image slabs concatenate
+      across the axis
+
+Backward runs the same graph in reverse automatically: the all_gather
+transposes to a psum_scatter, so per-gaussian gradients land exactly on the
+shard that owns them — which is also where that shard's Adam state lives.
+
+Loss weighting under replication: every prim device evaluates the image
+loss on the (identical) gathered image, so each device's loss carries a
+1/n_prim factor — the psum_scatter then sums the n_prim cotangent copies
+back to exactly one full gradient, and psum(loss) reports the true value.
+Gaussian-space regularizers are shard-partial sums normalized by the
+global visible count, so they need no such correction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gaussianavatars_tpu.models.gaussians import world_space_gaussians
+from gaussianavatars_tpu.ops.binning import tile_grid
+from gaussianavatars_tpu.ops.projection import CameraParams, project_gaussians
+from gaussianavatars_tpu.ops.ssim import ssim
+from gaussianavatars_tpu.train.losses import safe_norm
+from gaussianavatars_tpu.utils.image import l1_loss
+
+
+def _gathered_render(
+    params_shard, binding_shard, frames, active_shard,
+    camera: CameraParams, bg, sh_degree, capacity, tile_size, chunk,
+    backend, rows_per, means2d_offset_shard=None,
+):
+    """Phase1 on the local shard -> all_gather -> phase2 on local tile rows.
+
+    Runs INSIDE shard_map. Returns (slab [3, rows*ts, W], local radii,
+    local valid, aligned instance total).
+    """
+    means3d, scales, quats, opac, shs = world_space_gaussians(
+        params_shard, binding_shard, frames
+    )
+    proj_local = project_gaussians(
+        means3d, scales, quats, opac, shs, sh_degree, camera,
+        means2d_offset=means2d_offset_shard,
+    )
+    if active_shard is not None:
+        proj_local = proj_local._replace(
+            valid=proj_local.valid & active_shard,
+            radii=jnp.where(active_shard, proj_local.radii, 0),
+        )
+
+    # SP-style exchange: everyone gets every projected gaussian.
+    proj_all = jax.tree.map(
+        lambda x: jax.lax.all_gather(x, "prim", axis=0, tiled=True),
+        proj_local,
+    )
+
+    pid = jax.lax.axis_index("prim")
+    row_start = pid * rows_per
+
+    from gaussianavatars_tpu.ops.binning import bin_gaussians, chunk_align
+    from gaussianavatars_tpu.ops.tile_blend import blend_image
+
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(proj_all.means2d),
+        jax.lax.stop_gradient(proj_all.depths),
+        proj_all.radii, proj_all.valid,
+        camera.width, camera.height, tile_size, capacity,
+        tile_row_start=row_start, tile_rows=rows_per,
+    )
+    aligned = chunk_align(binning, chunk, capacity)
+    ids = aligned.gaussian_ids
+    inst_means2d = proj_all.means2d[ids]
+    inst_conics = proj_all.conics[ids]
+    inst_colors = proj_all.colors[ids]
+    inst_opac = jnp.where(aligned.slot_valid, proj_all.opacities[ids], 0.0)
+    ranges = jnp.stack(
+        [aligned.tile_starts, aligned.tile_ends], axis=-1
+    ).astype(jnp.float32)
+
+    py_offset = row_start * tile_size
+    color, trans = blend_image(
+        inst_means2d, inst_conics, inst_colors, inst_opac, ranges, py_offset,
+        camera.width, rows_per * tile_size, tile_size, chunk, backend,
+    )
+    slab = color + trans[None, :, :] * bg[:, None, None]
+    return slab, proj_local.radii, proj_local.valid, aligned.total
+
+
+def _camera_from_tuple(cam, width, height):
+    return CameraParams(
+        viewmatrix=cam[0], projmatrix=cam[1], campos=cam[2],
+        tan_fovx=cam[3], tan_fovy=cam[4], width=width, height=height,
+    )
+
+
+def make_sharded_render(
+    mesh: Mesh, width: int, height: int, sh_degree: int,
+    capacity: int, tile_size: int = 16, chunk: int = 8,
+    backend: str = "jnp", bound: bool = True,
+):
+    """Single-camera render sharded over the 'prim' axis.
+
+    Returns a jitted fn(params, binding, frames, active, cam_tuple, bg)
+    -> [3, H, W]; gaussians and tile rows sharded over `prim`.
+    """
+    n_prim = mesh.shape["prim"]
+    _, nty = tile_grid(width, height, tile_size)
+    rows_per = -(-nty // n_prim)
+
+    shard = P("prim")
+    rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(shard, shard if bound else rep, rep, shard, rep, rep),
+        out_specs=P("prim"),
+    )
+    def fn(params_shard, binding_shard, frames, active_shard, cam, bg):
+        camera = _camera_from_tuple(cam, width, height)
+        slab, _, _, _ = _gathered_render(
+            params_shard, binding_shard if bound else None, frames,
+            active_shard, camera, bg, sh_degree, capacity, tile_size,
+            chunk, backend, rows_per,
+        )
+        # concat along leading (row) axis across the prim shards
+        return slab.transpose(1, 2, 0)
+
+    @jax.jit
+    def render(params, binding, frames, active, cam, bg):
+        out = fn(params, binding, frames, active, cam, bg)  # [H_pad, W, 3]
+        return out[:height].transpose(2, 0, 1)
+
+    return render
+
+
+def make_sharded_train_step(
+    mesh: Mesh, model, opt_cfg, pipe_cfg, width: int, height: int,
+    sh_degree: int,
+):
+    """Data x render-parallel training step (see module docstring).
+
+    State layout: gaussian params/Adam sharded over 'prim', replicated over
+    'data'; FLAME trainables + their Adam replicated; camera batch sharded
+    over 'data' (leading dim == data axis size).
+
+    Returns jitted step(...) -> (params, flame_tr, mu_g, nu_g, mu_f, nu_f,
+    count, max_radii, accum, denom, losses).
+    """
+    from gaussianavatars_tpu.models.flame_gaussians import (
+        face_frames_from_verts,
+    )
+    from gaussianavatars_tpu.train import optim
+
+    bound = getattr(model, "binding", None) is not None
+    flame_model = getattr(model, "flame_model", None)
+    n_prim = mesh.shape["prim"]
+    _, nty = tile_grid(width, height, pipe_cfg.tile_size)
+    rows_per = -(-nty // n_prim)
+
+    shard = P("prim")
+    rep = P()
+    data = P("data")
+
+    in_specs = (
+        shard,  # params
+        rep,    # flame_tr
+        rep,    # flame_fixed
+        shard,  # binding
+        shard,  # active
+        data,   # cam tuple [B, ...]
+        data,   # gt [B, 3, H, W]
+        data,   # bg [B, 3]
+        data,   # timestep [B]
+        rep,    # lrs (scalars)
+        shard,  # mu_g
+        shard,  # nu_g
+        rep,    # mu_f
+        rep,    # nu_f
+        rep,    # count
+        shard,  # max_radii
+        shard,  # accum
+        shard,  # denom
+    )
+    out_specs = (shard, rep, shard, shard, rep, rep, rep,
+                 shard, shard, shard, rep)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+    )
+    def step(params, flame_tr, flame_fixed, binding, active, cams, gts,
+             bgs, timesteps, lrs, mu_g, nu_g, mu_f, nu_f, count,
+             max_radii, accum, denom):
+        cam = jax.tree.map(lambda x: x[0], cams)
+        gt = gts[0]
+        bg = bgs[0]
+        timestep = timesteps[0]
+        camera = _camera_from_tuple(cam, width, height)
+
+        def loss_fn(params_shard, flame_tr, off_shard):
+            if bound:
+                flame_full = {**flame_fixed, **flame_tr}
+                verts = model.verts_at(flame_full, timestep)
+                frames = face_frames_from_verts(verts[0], flame_model.j_faces)
+                face_scaling_pg = frames.scaling[binding]
+            else:
+                frames = None
+                face_scaling_pg = None
+
+            slab, radii_loc, vis_loc, total_inst = _gathered_render(
+                params_shard, binding if bound else None, frames, active,
+                camera, bg, sh_degree, pipe_cfg.capacity,
+                pipe_cfg.tile_size, pipe_cfg.chunk, pipe_cfg.backend,
+                rows_per, means2d_offset_shard=off_shard,
+            )
+            image = jax.lax.all_gather(
+                slab.transpose(1, 2, 0), "prim", axis=0, tiled=True
+            )[:height].transpose(2, 0, 1)
+
+            # replication-weighted image terms (see module docstring)
+            l1 = l1_loss(image, gt) * (1.0 - opt_cfg.lambda_dssim) / n_prim
+            ds = (1.0 - ssim(image, gt)) * opt_cfg.lambda_dssim / n_prim
+            losses = {"l1": l1, "ssim": ds}
+            total = l1 + ds
+
+            if bound:
+                vis = vis_loc.astype(jnp.float32)
+                global_cnt = jnp.maximum(jax.lax.psum(vis.sum(), "prim"), 1.0)
+                val = jax.nn.relu(
+                    safe_norm(params_shard.xyz, axis=1)
+                    - opt_cfg.threshold_xyz
+                )
+                losses["xyz"] = (
+                    jnp.sum(val * vis) / global_cnt * opt_cfg.lambda_xyz
+                )
+                total = total + losses["xyz"]
+                if opt_cfg.lambda_scale != 0.0:
+                    val = safe_norm(
+                        jax.nn.relu(
+                            jnp.exp(params_shard.scaling)
+                            - opt_cfg.threshold_scale
+                        ), axis=1,
+                    )
+                    losses["scale"] = (
+                        jnp.sum(val * vis) / global_cnt * opt_cfg.lambda_scale
+                    )
+                    total = total + losses["scale"]
+
+            # average over the data (camera batch) axis
+            total = jax.lax.pmean(total, "data")
+            return total, (losses, radii_loc, vis_loc, total_inst)
+
+        off = jnp.zeros((params.xyz.shape[0], 2), jnp.float32)
+        grads, aux = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            params, flame_tr, off
+        )
+        g_params, g_flame, g_off = grads
+        losses, radii_loc, vis_loc, total_inst = aux
+
+        # data-axis mean for per-gaussian grads; flame grads additionally
+        # accumulate over prim shards (each shard contributed a partial)
+        g_params = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), g_params)
+        g_flame = jax.tree.map(
+            lambda g: jax.lax.psum(jax.lax.pmean(g, "data"), "prim"), g_flame
+        )
+
+        new_params, new_mu_g, new_nu_g, _ = optim.apply(
+            params, g_params, mu_g, nu_g, count, lrs["gauss"]
+        )
+        new_flame, new_mu_f, new_nu_f, new_count = optim.apply(
+            flame_tr, g_flame, mu_f, nu_f, count, lrs["flame"]
+        )
+
+        # densification stats: every data-group saw a different camera, so
+        # accumulate contributions from all of them (the single-device loop
+        # adds one camera per step; a batch adds all its cameras)
+        g_norm = jnp.linalg.norm(g_off, axis=-1)
+        accum = accum + jax.lax.psum(jnp.where(vis_loc, g_norm, 0.0), "data")
+        denom = denom + jax.lax.psum(vis_loc.astype(jnp.float32), "data")
+        max_radii = jnp.maximum(
+            max_radii,
+            jax.lax.pmax(
+                jnp.where(vis_loc, radii_loc.astype(jnp.float32), 0.0), "data"
+            ),
+        )
+
+        # report true (full) loss values, replicated over both axes
+        losses = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), losses)
+        for k in ("l1", "ssim"):
+            losses[k] = jax.lax.pmean(losses[k], "prim") * n_prim
+        for k in ("xyz", "scale"):
+            if k in losses:
+                losses[k] = jax.lax.psum(losses[k], "prim")
+
+        return (new_params, new_flame, new_mu_g, new_nu_g, new_mu_f,
+                new_nu_f, new_count, max_radii, accum, denom, losses)
+
+    return jax.jit(step)

@@ -13,6 +13,13 @@ from gaussianavatars_tpu.ops.ssim import ssim
 from gaussianavatars_tpu.utils.image import l1_loss
 
 
+def safe_norm(x: jnp.ndarray, axis=-1, eps: float = 1e-24) -> jnp.ndarray:
+    """Norm with a NaN-free gradient at 0 (clamp inside the sqrt, so the
+    zero vector takes the constant branch). The bound-gaussian xyz loss
+    evaluates exactly at xyz=0 on fresh splats."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=axis), eps))
+
+
 def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Mean over entries where mask is True (0 if empty)."""
     total = jnp.sum(values * mask)
@@ -43,24 +50,24 @@ def compute_losses(
     if bound:
         if opt_cfg.metric_xyz:
             metric_xyz = params_xyz * face_scaling_per_gaussian
-            val = jnp.linalg.norm(
+            val = safe_norm(
                 jax.nn.relu(metric_xyz - opt_cfg.threshold_xyz), axis=1
             )
             losses["xyz"] = masked_mean(val, vis) * opt_cfg.lambda_xyz
         else:
             val = jax.nn.relu(
-                jnp.linalg.norm(params_xyz, axis=1) - opt_cfg.threshold_xyz
+                safe_norm(params_xyz, axis=1) - opt_cfg.threshold_xyz
             )
             losses["xyz"] = masked_mean(val, vis) * opt_cfg.lambda_xyz
 
         if opt_cfg.lambda_scale != 0.0:
             if opt_cfg.metric_scale:
                 world_scale = jnp.exp(params_scaling) * face_scaling_per_gaussian
-                val = jnp.linalg.norm(
+                val = safe_norm(
                     jax.nn.relu(world_scale - opt_cfg.threshold_scale), axis=1
                 )
             else:
-                val = jnp.linalg.norm(
+                val = safe_norm(
                     jax.nn.relu(
                         jnp.exp(params_scaling) - opt_cfg.threshold_scale
                     ),
