@@ -16,18 +16,26 @@ from argparse import ArgumentParser, Namespace
 from dataclasses import dataclass, field
 
 
-def _add_group(parser: ArgumentParser, cfg, name: str, shorthand_fields=()):
+def _add_group(parser: ArgumentParser, cfg, name: str, shorthand_fields=(),
+               sentinel: bool = False):
+    """Reflect dataclass fields into argparse flags. With `sentinel`,
+    non-bool defaults become None so a saved config can fill them in
+    (reference ParamGroup(fill_none) behavior)."""
     group = parser.add_argument_group(name)
+    defaults = type(cfg)()
     for f in dataclasses.fields(cfg):
         key = f.name
-        default = getattr(cfg, key)
+        default = getattr(defaults, key)
         flags = [f"--{key}"]
         if key in shorthand_fields:
             flags.append(f"-{key[0]}")
-        if f.type == "bool" or isinstance(default, bool):
+        if isinstance(default, bool):
             group.add_argument(*flags, default=default, action="store_true")
         else:
-            group.add_argument(*flags, default=default, type=type(default))
+            group.add_argument(
+                *flags, default=None if sentinel else default,
+                type=type(default),
+            )
     return group
 
 
@@ -58,12 +66,8 @@ class ModelConfig:
 
     @classmethod
     def add_to_parser(cls, parser, sentinel=False):
-        inst = cls()
-        if sentinel:
-            for f in dataclasses.fields(inst):
-                if not isinstance(getattr(inst, f.name), bool):
-                    object.__setattr__(inst, f.name, None)
-        _add_group(parser, inst, "Loading Parameters", cls.SHORTHANDS)
+        _add_group(parser, cls(), "Loading Parameters", cls.SHORTHANDS,
+                   sentinel=sentinel)
 
     @classmethod
     def extract(cls, args):

@@ -1,25 +1,27 @@
-"""Tile binning: static-shape duplicate-key sort of gaussian instances.
+"""Tile binning: static-shape instance-stream construction.
 
 TPU-native replacement for the CUDA rasterizer's duplicated (tile|depth)
 radix sort + per-tile ranges (the binning stage of reference submodule
 `diff-gaussian-rasterization`; see SURVEY.md N1). The CUDA design relies on
-dynamic allocation and atomics; here everything is static-shape:
+dynamic allocation and atomics; here everything is static-shape and built
+from sort/scan primitives:
 
-  1. per-gaussian tile rect from center/radius (conservative AABB test,
-     same rect rule as CUDA getRect)
-  2. instance count = rect area; exclusive cumsum gives each gaussian's
-     contiguous instance range
-  3. a *gather* expansion: instance slot k finds its owner gaussian with a
-     searchsorted over the cumsum (no scatter, no atomics), then decodes
-     its covered tile from the slot's rank within the rect
-  4. one lexicographic `lax.sort` on (tile_id, depth) yields the
-     tile-major, front-to-back instance stream
-  5. per-tile [start, end) ranges via searchsorted over the sorted tile ids
+  1. gaussians are depth-sorted once (N keys — 20-30x smaller than the
+     instance stream, so this is the only "real" sort over float keys)
+  2. per-gaussian tile rect -> instance counts -> exclusive cumsum gives
+     each gaussian a contiguous slot range, enumerated in depth order
+  3. slot -> owner expansion WITHOUT binary search: scatter each gaussian's
+     index at its first slot, then a running max (cummax) fills the gaps —
+     O(capacity) scan instead of O(capacity log N) gathers
+  4. ONE single-key stable sort by tile id (u32, few distinct values)
+     produces the tile-major stream; stability preserves the depth order
+     inherited from step 1 — this replaces the CUDA 64-bit (tile|depth)
+     radix sort with a cheaper key
+  5. per-tile [start, end) ranges via searchsorted (T keys, negligible)
 
 The instance capacity is a static compile-time bucket; `total` reports true
-demand so the host can re-bucket (see models/gaussians densification notes).
-Everything here is non-differentiable bookkeeping (wrapped in stop_gradient
-by the caller); gradients flow through the *gather* of per-instance data.
+demand so the host can re-bucket. Everything here is non-differentiable
+bookkeeping; gradients flow through the *gather* of per-instance data.
 """
 
 from __future__ import annotations
@@ -71,6 +73,20 @@ def compute_tile_rects(
     return x0, y0, x1, y1
 
 
+def _fill_forward_owner(first_slots: jnp.ndarray, values: jnp.ndarray,
+                        present: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """owner[s] = values[i] for the last i with first_slots[i] <= s.
+
+    `first_slots` must be strictly increasing over `present` entries.
+    Scatter + cummax replacement for searchsorted (vectorizes as one scan).
+    """
+    idx = jnp.where(present, first_slots, capacity)  # drop absent entries
+    marks = jnp.zeros((capacity,), jnp.int32).at[idx].max(
+        values.astype(jnp.int32), mode="drop"
+    )
+    return jax.lax.cummax(marks)
+
+
 def bin_gaussians(
     means2d: jnp.ndarray,
     depths: jnp.ndarray,
@@ -91,53 +107,65 @@ def bin_gaussians(
       radii: [N] int pixel radii (0 = culled).
       valid: [N] bool.
       width/height/tile_size/capacity: static ints.
-      tile_row_start/tile_rows: optional static window of tile rows to bin
-        (the tile-sharding hook: each device bins only the rows it blends;
-        tile ids are local to the window).
+      tile_row_start/tile_rows: optional window of tile rows to bin (the
+        tile-sharding hook; tile_row_start may be traced, tile_rows is
+        static). Tile ids are local to the window.
     """
     n = means2d.shape[0]
     ntx, nty_full = tile_grid(width, height, tile_size)
-    # tile_row_start may be traced (device-dependent under shard_map), so
-    # the row count must come from the static tile_rows when windowed
     nty = nty_full if tile_rows is None else tile_rows
     num_tiles = ntx * nty
 
-    x0, y0, x1, y1 = compute_tile_rects(
-        means2d, radii, width, height, tile_size
+    # ---- 1. depth order over gaussians (invalid sort to the end) -----------
+    depth_key = jnp.where(valid, depths, jnp.inf).astype(jnp.float32)
+    _, perm = jax.lax.sort(
+        (depth_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
     )
-    # restrict to the local tile-row window; y becomes window-local
+    means_s = means2d[perm]
+    radii_s = radii[perm]
+    valid_s = valid[perm]
+
+    # ---- 2. rects + slot ranges in depth order ------------------------------
+    x0, y0, x1, y1 = compute_tile_rects(means_s, radii_s, width, height,
+                                        tile_size)
     y0 = jnp.clip(y0 - tile_row_start, 0, nty)
     y1 = jnp.clip(y1 - tile_row_start, 0, nty)
     rw = jnp.maximum(x1 - x0, 0)
     rh = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(valid, rw * rh, 0).astype(jnp.int32)
+    counts = jnp.where(valid_s, rw * rh, 0).astype(jnp.int32)
 
     offsets = jnp.cumsum(counts) - counts          # exclusive
     total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
 
-    # --- gather-style expansion to `capacity` instance slots -----------------
+    # ---- 3. slot -> owner via scatter + running max -------------------------
+    # pack the per-gaussian lookup table so the big expansion needs ONE
+    # random gather (random-access rows cost ~a cache line regardless of
+    # width on TPU)
+    table = jnp.stack(
+        [offsets, jnp.maximum(rw, 1), x0, y0, perm], axis=-1
+    )  # [N, 5]
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    # ends[i] = offsets[i] + counts[i] is monotone; owner = first i with
-    # ends[i] > slot  ==  searchsorted(ends, slot, 'right')
-    ends = offsets + counts
-    owner = jnp.searchsorted(ends, slots, side="right").astype(jnp.int32)
-    owner = jnp.minimum(owner, n - 1)
-    local = slots - offsets[owner]
-    rw_o = jnp.maximum(rw[owner], 1)
-    tx = x0[owner] + local % rw_o
-    ty = y0[owner] + local // rw_o
+    owner = _fill_forward_owner(
+        offsets, jnp.arange(n, dtype=jnp.int32), counts > 0, capacity
+    )
+    row = table[owner]                                   # [K, 5] one gather
+    local = slots - row[:, 0]
+    rw_o = row[:, 1]
+    tx = row[:, 2] + local % rw_o
+    ty = row[:, 3] + local // rw_o
     tile_id = ty * ntx + tx
 
     inst_valid = slots < jnp.minimum(total, capacity)
     tile_id = jnp.where(inst_valid, tile_id, num_tiles).astype(jnp.int32)
-    depth_key = jnp.where(inst_valid, depths[owner], jnp.inf).astype(jnp.float32)
 
-    # --- lexicographic (tile, depth) sort ------------------------------------
-    sorted_tile, _, sorted_owner = jax.lax.sort(
-        (tile_id, depth_key, owner), num_keys=2
+    # ---- 4. stable single-key sort by tile (depth order inherited) ----------
+    owner_orig = row[:, 4]
+    sorted_tile, sorted_owner = jax.lax.sort(
+        (tile_id, owner_orig), num_keys=1
     )
     sorted_valid = sorted_tile < num_tiles
 
+    # ---- 5. per-tile ranges --------------------------------------------------
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_starts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)
     tile_ends = jnp.searchsorted(sorted_tile, tiles, side="right").astype(jnp.int32)
@@ -178,13 +206,20 @@ def chunk_align(binning: TileBinning, chunk: int, capacity: int) -> AlignedBinni
     aends = astarts + pad_counts
     total = aends[-1] if aends.shape[0] > 0 else jnp.int32(0)
 
+    num_tiles = aends.shape[0]
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    tile = jnp.searchsorted(aends, slots, side="right").astype(jnp.int32)
-    tile = jnp.minimum(tile, aends.shape[0] - 1)
-    local = slots - astarts[tile]
-    valid = (local < counts[tile]) & (slots < total)
+    tile = _fill_forward_owner(
+        astarts, jnp.arange(num_tiles, dtype=jnp.int32), pad_counts > 0,
+        capacity,
+    )
+    table = jnp.stack(
+        [astarts, counts, binning.tile_starts], axis=-1
+    )  # [T, 3]
+    row = table[tile]                                    # one gather
+    local = slots - row[:, 0]
+    valid = (local < row[:, 1]) & (slots < total)
     src = jnp.minimum(
-        binning.tile_starts[tile] + local, binning.gaussian_ids.shape[0] - 1
+        row[:, 2] + local, binning.gaussian_ids.shape[0] - 1
     )
     gid = binning.gaussian_ids[src]
     return AlignedBinning(

@@ -48,25 +48,9 @@ PACK_ROWS = 16
 # Packing helpers (plain jnp, outside the kernels)
 # ----------------------------------------------------------------------------
 
-def pack_instances(means2d, conics, colors, opacities, k_pad):
-    """[K,2]/[K,3]/[K,3]/[K] -> (16, k_pad) f32 feature-major pack."""
-    k = means2d.shape[0]
-    rows = jnp.concatenate(
-        [means2d.T, conics.T, colors.T, opacities[None, :]], axis=0
-    )  # (9, K)
-    rows = jnp.pad(rows, ((0, PACK_ROWS - rows.shape[0]), (0, k_pad - k)))
-    return rows.astype(jnp.float32)
-
-
-def unpack_grads(grad_pack, k):
-    """(16, k_pad) -> per-field grads with original length K."""
-    g = grad_pack[:, :k]
-    return (
-        g[ROW_MX:ROW_MY + 1].T,       # [K, 2]
-        g[ROW_CXX:ROW_CYY + 1].T,     # [K, 3]
-        g[ROW_R:ROW_B + 1].T,         # [K, 3]
-        g[ROW_OP],                    # [K]
-    )
+def _pad_pack(inst, k_pad):
+    """(16, K) -> (16, k_pad): pad the lane axis to a chunk multiple."""
+    return jnp.pad(inst, ((0, 0), (0, k_pad - inst.shape[1])))
 
 
 def _round_up(x, m):
@@ -201,7 +185,7 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sem,
 
 
 def blend_image_fwd_pallas(
-    means2d, conics, colors, opacities, ranges,
+    inst, ranges,
     width, height, tile_size, chunk, py_offset=0,
 ):
     """Forward blend on TPU. Same contract as the jnp backend in
@@ -209,10 +193,10 @@ def blend_image_fwd_pallas(
     ntx, nty = -(-width // tile_size), -(-height // tile_size)
     num_tiles = ntx * nty
     p = tile_size * tile_size
-    k = means2d.shape[0]
+    k = inst.shape[1]
     k_pad = _round_up(max(k, chunk), chunk)
 
-    inst = pack_instances(means2d, conics, colors, opacities, k_pad)
+    inst = _pad_pack(inst, k_pad)
     ranges_i = _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad,
                                py_offset)
 
@@ -374,18 +358,18 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
 
 
 def blend_image_bwd_pallas(
-    means2d, conics, colors, opacities, ranges,
+    inst, ranges,
     out_color_img, out_t_img, g_color_img, g_t_img,
     width, height, tile_size, chunk, py_offset=0,
 ):
-    """Backward blend on TPU: per-instance gradient pack -> unpacked."""
+    """Backward blend on TPU: returns the (16, K) instance gradient pack."""
     ntx, nty = -(-width // tile_size), -(-height // tile_size)
     num_tiles = ntx * nty
     p = tile_size * tile_size
-    k = means2d.shape[0]
+    k = inst.shape[1]
     k_pad = _round_up(max(k, chunk), chunk)
 
-    inst = pack_instances(means2d, conics, colors, opacities, k_pad)
+    inst = _pad_pack(inst, k_pad)
 
     def to_pack(color_img, t_img):
         x = jnp.concatenate([color_img, t_img[None]], axis=0)  # (4, H, W)
@@ -436,7 +420,7 @@ def blend_image_bwd_pallas(
     )(ranges_i, inst, outpack, gpack)
 
     # Slots past the covered stream were never written by any tile; zero
-    # them before unpacking (coverage is contiguous from 0 to the last end).
+    # them before returning (coverage is contiguous from 0 to the last end).
     covered = jnp.arange(k_pad, dtype=jnp.int32)[None, :] < ranges_i[-1, 1]
     grad_pack = jnp.where(covered, grad_pack, 0.0)
-    return unpack_grads(grad_pack, k)
+    return grad_pack[:, :k]

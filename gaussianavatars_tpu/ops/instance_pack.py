@@ -1,0 +1,58 @@
+"""Packed per-gaussian screen data: one gather instead of many.
+
+Random gathers on TPU cost ~the same per *row* regardless of row width
+(32B+ access granularity), so gathering six separate per-gaussian arrays by
+the 3M-slot instance stream wastes most of the bandwidth. Instead the
+projected attributes are packed once into a (16, N) f32 matrix (a cheap
+N-sized transpose), and the instance stream gathers columns in a single op
+— which is also exactly the feature-major layout the Pallas blend kernels
+DMA from HBM (ops/blend_pallas.py).
+
+Row layout (shared contract with blend_pallas):
+  0:2 mean2d | 2:5 conic | 5:8 color | 8 opacity | 9:16 zero padding
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+ROW_MX, ROW_MY = 0, 1
+ROW_CXX, ROW_CXY, ROW_CYY = 2, 3, 4
+ROW_R, ROW_G, ROW_B = 5, 6, 7
+ROW_OP = 8
+PACK_ROWS = 16
+
+
+def pack_projected(means2d, conics, colors, opacities) -> jnp.ndarray:
+    """[N,2]/[N,3]/[N,3]/[N] -> (16, N) f32 (differentiable)."""
+    n = means2d.shape[0]
+    rows = jnp.concatenate(
+        [means2d.T, conics.T, colors.T, opacities[None, :]], axis=0
+    )  # (9, N)
+    return jnp.concatenate(
+        [rows, jnp.zeros((PACK_ROWS - rows.shape[0], n), rows.dtype)], axis=0
+    )
+
+
+def gather_instances(pack: jnp.ndarray, ids: jnp.ndarray,
+                     slot_valid: jnp.ndarray) -> jnp.ndarray:
+    """(16, N) x [K] -> (16, K); dead slots get zero opacity.
+
+    Differentiable: the transpose is a segment-sum back to owner columns.
+    """
+    inst = pack[:, ids]
+    # zero the opacity row on padding slots so they blend as no-ops
+    mask = slot_valid.astype(inst.dtype)[None, :]
+    row_sel = (jnp.arange(PACK_ROWS) == ROW_OP)[:, None]
+    return jnp.where(row_sel, inst * mask, inst)
+
+
+def unpack_rows(inst: jnp.ndarray):
+    """(16, K) -> (means2d [K,2], conics [K,3], colors [K,3], opac [K])."""
+    return (
+        inst[ROW_MX:ROW_MY + 1].T,
+        inst[ROW_CXX:ROW_CYY + 1].T,
+        inst[ROW_R:ROW_B + 1].T,
+        inst[ROW_OP],
+    )

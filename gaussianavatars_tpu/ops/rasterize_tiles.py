@@ -28,6 +28,10 @@ from gaussianavatars_tpu.ops.projection import (
     ProjectedGaussians,
     project_gaussians,
 )
+from gaussianavatars_tpu.ops.instance_pack import (
+    gather_instances,
+    pack_projected,
+)
 from gaussianavatars_tpu.ops.tile_blend import blend_image
 
 
@@ -99,13 +103,13 @@ def rasterize(
     # keeps both backends on one canonical layout.
     aligned = chunk_align(binning, chunk, capacity)
 
-    ids = aligned.gaussian_ids
-    # Differentiable gather: gradients flow from per-instance grads back to
-    # per-gaussian tensors via the transpose (segment-sum) of this gather.
-    inst_means2d = proj.means2d[ids]
-    inst_conics = proj.conics[ids]
-    inst_colors = proj.colors[ids]
-    inst_opac = jnp.where(aligned.slot_valid, proj.opacities[ids], 0.0)
+    # Differentiable single-gather of packed per-gaussian data: gradients
+    # flow from per-instance grads back to per-gaussian tensors via the
+    # transpose (segment-sum) of this gather.
+    pack = pack_projected(
+        proj.means2d, proj.conics, proj.colors, proj.opacities
+    )
+    inst = gather_instances(pack, aligned.gaussian_ids, aligned.slot_valid)
 
     ranges = jnp.stack(
         [aligned.tile_starts, aligned.tile_ends], axis=-1
@@ -120,7 +124,7 @@ def rasterize(
         slab_h = tile_rows * tile_size
 
     color, trans = blend_image(
-        inst_means2d, inst_conics, inst_colors, inst_opac, ranges, py_offset,
+        inst, ranges, py_offset,
         camera.width, slab_h, tile_size, chunk, backend,
     )
     image = color + trans[None, :, :] * bg[:, None, None]

@@ -270,21 +270,20 @@ def _blend_tile_bwd(
 # Public API: full-image blend over all tiles, custom VJP
 # ----------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def blend_image(
-    means2d, conics, colors, opacities, ranges, py_offset,
+    inst, ranges, py_offset,
     width: int, height: int, tile_size: int, chunk: int, backend: str,
 ):
     """Blend the sorted instance stream into a full image.
 
     Args:
-      means2d/conics/colors/opacities: [K, ...] tile-major depth-sorted
-        per-instance data (gathered by owner gaussian id).
-      ranges: [T, 2] float32 (start, end) per tile (cast to int inside; float
-        so custom_vjp cotangent bookkeeping stays uniform).
+      inst: (16, K) packed tile-major depth-sorted per-instance data
+        (ops/instance_pack.py layout; dead slots carry zero opacity).
+      ranges: [T, 2] float32 (start, end) per tile (cast to int inside).
+      py_offset: [] global pixel-row offset of this slab (traced so tile-row
+        sharding can derive it from the device's axis index).
       width/height/tile_size/chunk: static ints.
-      py_offset: [] float32 global pixel-row offset of this slab (traced so
-        tile-row sharding can derive it from the device's axis index).
       backend: 'jnp' (portable) or 'pallas' (TPU kernels).
 
     Returns:
@@ -292,32 +291,32 @@ def blend_image(
       the slab height passed as `height`.
     """
     out, _ = _blend_image_fwd_impl(
-        means2d, conics, colors, opacities, ranges, py_offset,
-        width, height, tile_size, chunk, backend,
+        inst, ranges, py_offset, width, height, tile_size, chunk, backend,
     )
     return out
 
 
 def _blend_image_fwd_impl(
-    means2d, conics, colors, opacities, ranges, py_offset,
-    width, height, tile_size, chunk, backend,
+    inst, ranges, py_offset, width, height, tile_size, chunk, backend,
 ):
     if backend == "pallas":
         from gaussianavatars_tpu.ops import blend_pallas
 
         out = blend_pallas.blend_image_fwd_pallas(
-            means2d, conics, colors, opacities, ranges,
-            width, height, tile_size, chunk, py_offset,
+            inst, ranges, width, height, tile_size, chunk, py_offset,
         )
         return out, out
 
+    from gaussianavatars_tpu.ops.instance_pack import unpack_rows
+
+    means2d, conics, colors, opacities = unpack_rows(inst)
     ntx, nty = -(-width // tile_size), -(-height // tile_size)
-    inst = BlendInputs(means2d, conics, colors, opacities)
+    bi = BlendInputs(means2d, conics, colors, opacities)
     starts = ranges[:, 0].astype(jnp.int32)
     ends = ranges[:, 1].astype(jnp.int32)
 
     def tile_fn(t):
-        return _blend_tile_fwd(t, starts[t], ends[t], inst, tile_size, chunk,
+        return _blend_tile_fwd(t, starts[t], ends[t], bi, tile_size, chunk,
                                ntx, py_offset)
 
     tiles = jnp.arange(ntx * nty, dtype=jnp.int32)
@@ -347,38 +346,36 @@ def _retile(img, ntx, nty, ts):
 
 
 def _blend_image_fwd(
-    means2d, conics, colors, opacities, ranges, py_offset,
-    width, height, tile_size, chunk, backend,
+    inst, ranges, py_offset, width, height, tile_size, chunk, backend,
 ):
     out, _ = _blend_image_fwd_impl(
-        means2d, conics, colors, opacities, ranges, py_offset,
-        width, height, tile_size, chunk, backend,
+        inst, ranges, py_offset, width, height, tile_size, chunk, backend,
     )
-    residuals = (means2d, conics, colors, opacities, ranges, py_offset, out)
+    residuals = (inst, ranges, py_offset, out)
     return out, residuals
 
 
 def _blend_image_bwd(width, height, tile_size, chunk, backend,
                      residuals, cots):
-    means2d, conics, colors, opacities, ranges, py_offset, out = residuals
+    inst, ranges, py_offset, out = residuals
     g_color_img, g_t_img = cots
     out_color_img, out_t_img = out
 
     if backend == "pallas":
         from gaussianavatars_tpu.ops import blend_pallas
 
-        grads = blend_pallas.blend_image_bwd_pallas(
-            means2d, conics, colors, opacities, ranges,
-            out_color_img, out_t_img, g_color_img, g_t_img,
+        d_inst = blend_pallas.blend_image_bwd_pallas(
+            inst, ranges, out_color_img, out_t_img, g_color_img, g_t_img,
             width, height, tile_size, chunk, py_offset,
         )
-        d_means, d_conics, d_colors, d_opac = grads
-        return (d_means, d_conics, d_colors, d_opac, jnp.zeros_like(ranges),
-                jnp.zeros_like(py_offset))
+        return (d_inst, jnp.zeros_like(ranges), jnp.zeros_like(py_offset))
 
+    from gaussianavatars_tpu.ops.instance_pack import PACK_ROWS, unpack_rows
+
+    means2d, conics, colors, opacities = unpack_rows(inst)
     ntx, nty = -(-width // tile_size), -(-height // tile_size)
     capacity = means2d.shape[0]
-    inst = BlendInputs(means2d, conics, colors, opacities)
+    bi = BlendInputs(means2d, conics, colors, opacities)
     starts = ranges[:, 0].astype(jnp.int32)
     ends = ranges[:, 1].astype(jnp.int32)
 
@@ -390,7 +387,7 @@ def _blend_image_bwd(width, height, tile_size, chunk, backend,
     def tile_fn(carry, t):
         d_means, d_conics, d_colors, d_opac = carry
         tm, tc, tcol, to = _blend_tile_bwd(
-            t, starts[t], ends[t], inst,
+            t, starts[t], ends[t], bi,
             out_color_t[t], out_t_t[t], g_color_t[t], g_t_t[t],
             tile_size, chunk, ntx, capacity, py_offset,
         )
@@ -404,8 +401,15 @@ def _blend_image_bwd(width, height, tile_size, chunk, backend,
     )
     tiles = jnp.arange(ntx * nty, dtype=jnp.int32)
     (d_means, d_conics, d_colors, d_opac), _ = jax.lax.scan(tile_fn, init, tiles)
-    return (d_means, d_conics, d_colors, d_opac, jnp.zeros_like(ranges),
-            jnp.zeros_like(py_offset))
+
+    d_rows = jnp.concatenate(
+        [d_means.T, d_conics.T, d_colors.T, d_opac[None, :]], axis=0
+    )
+    d_inst = jnp.concatenate(
+        [d_rows, jnp.zeros((PACK_ROWS - d_rows.shape[0], capacity),
+                           d_rows.dtype)], axis=0,
+    )
+    return (d_inst, jnp.zeros_like(ranges), jnp.zeros_like(py_offset))
 
 
 blend_image.defvjp(_blend_image_fwd, _blend_image_bwd)

@@ -82,18 +82,22 @@ def _gathered_render(
         tile_row_start=row_start, tile_rows=rows_per,
     )
     aligned = chunk_align(binning, chunk, capacity)
-    ids = aligned.gaussian_ids
-    inst_means2d = proj_all.means2d[ids]
-    inst_conics = proj_all.conics[ids]
-    inst_colors = proj_all.colors[ids]
-    inst_opac = jnp.where(aligned.slot_valid, proj_all.opacities[ids], 0.0)
+    from gaussianavatars_tpu.ops.instance_pack import (
+        gather_instances, pack_projected,
+    )
+
+    pack = pack_projected(
+        proj_all.means2d, proj_all.conics, proj_all.colors,
+        proj_all.opacities,
+    )
+    inst = gather_instances(pack, aligned.gaussian_ids, aligned.slot_valid)
     ranges = jnp.stack(
         [aligned.tile_starts, aligned.tile_ends], axis=-1
     ).astype(jnp.float32)
 
     py_offset = row_start * tile_size
     color, trans = blend_image(
-        inst_means2d, inst_conics, inst_colors, inst_opac, ranges, py_offset,
+        inst, ranges, py_offset,
         camera.width, rows_per * tile_size, tile_size, chunk, backend,
     )
     slab = color + trans[None, :, :] * bg[:, None, None]
