@@ -44,6 +44,8 @@ class ProjectedGaussians(NamedTuple):
     opacities: jnp.ndarray    # [N] in (0, 1)
     radii: jnp.ndarray        # [N] int32 pixel radius (0 = culled)
     valid: jnp.ndarray        # [N] bool visibility after culling
+    r2_max: jnp.ndarray       # [N] max sq pixel distance at which alpha can
+                              # still reach 1/255 (precise tile-cull bound)
 
 
 class CameraParams(NamedTuple):
@@ -209,6 +211,15 @@ def project_gaussians(
     lambda_max = mid + disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
 
+    # Conservative reach bound for precise tile culling: the quadratic form
+    # q(d) = d^T conic d >= ||d||^2 / lambda_max(cov2d) (the conic's min
+    # eigenvalue is 1/lambda_max), so alpha = op*exp(-q/2) >= 1/255
+    # requires ||d||^2 <= 2*ln(255*op) * lambda_max. Dropping tiles whose
+    # box lies wholly beyond that radius is image-exact (the blend skips
+    # alpha < 1/255 anyway).
+    tau = 2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-12))
+    r2_max = jnp.where(tau > 0.0, tau * jnp.maximum(lambda_max, 0.0), -1.0)
+
     valid = in_front & det_ok
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
     # Fully off-screen gaussians are culled here; exact tile-rect emptiness
@@ -243,4 +254,5 @@ def project_gaussians(
         opacities=opacities,
         radii=radii,
         valid=valid,
+        r2_max=r2_max,
     )

@@ -97,6 +97,8 @@ def rasterize(
         capacity,
         tile_row_start=tile_row_start,
         tile_rows=tile_rows,
+        means2d_cull=jax.lax.stop_gradient(proj.means2d),
+        r2_max=jax.lax.stop_gradient(proj.r2_max),
     )
     # Chunk-aligned relayout: every tile owns whole chunks, which lets the
     # Pallas backward write per-tile gradient chunks without overlap and

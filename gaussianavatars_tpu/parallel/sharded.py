@@ -80,6 +80,8 @@ def _gathered_render(
         proj_all.radii, proj_all.valid,
         camera.width, camera.height, tile_size, capacity,
         tile_row_start=row_start, tile_rows=rows_per,
+        means2d_cull=jax.lax.stop_gradient(proj_all.means2d),
+        r2_max=jax.lax.stop_gradient(proj_all.r2_max),
     )
     aligned = chunk_align(binning, chunk, capacity)
     from gaussianavatars_tpu.ops.instance_pack import (

@@ -244,12 +244,84 @@ def lr_pytree(opt_cfg: OptimizationConfig, xyz_lr: float, flame_tr: dict,
     return {"gauss": gauss, "flame": flame_lrs}
 
 
+def gui_poll(gui, model, state: StepState, flame_fixed, pipe_cfg,
+             iteration: int, total_iterations: int,
+             render_fns: dict) -> None:
+    """Network-GUI polling (reference train.py:62-102): serve interactive
+    view requests between optimization steps; wire-compatible with the
+    reference remote viewer."""
+    import jax.numpy as jnp
+
+    if gui.conn is None:
+        gui.try_connect()
+    bound = getattr(model, "binding", None) is not None
+    while gui.conn is not None:
+        try:
+            cam, msg = gui.receive()
+            if cam is not None:
+                p = cam.to_params()
+                key = ("gui", p.width, p.height, model.capacity,
+                       model.active_sh_degree)
+                if key not in render_fns:
+                    render_fns[key] = make_render_fn(
+                        model, pipe_cfg, p.width, p.height,
+                        model.active_sh_degree,
+                    )
+                flame_full = (
+                    {**flame_fixed, **state.flame_tr} if bound else {}
+                )
+                if bound and msg.get("use_original_mesh") and \
+                        model.flame_param_orig is not None:
+                    flame_full = {
+                        k: jnp.asarray(v)
+                        for k, v in model.flame_param_orig.items()
+                    }
+                net_image = None
+                if msg.get("show_splatting", True):
+                    net_image = render_fns[key](
+                        state.params, flame_full,
+                        model.binding_device() if bound else None,
+                        model.active_mask(), camera_arrays(p),
+                        jnp.ones(3, jnp.float32),
+                        jnp.asarray(cam.timestep, jnp.int32),
+                    )
+                    net_image = np.asarray(jnp.clip(net_image, 0.0, 1.0))
+                if bound and msg.get("show_mesh"):
+                    from gaussianavatars_tpu.render.mesh_renderer import (
+                        rasterize_mesh,
+                    )
+
+                    verts = model.verts_at(flame_full, int(cam.timestep))
+                    rgb, alpha, _, _ = rasterize_mesh(
+                        np.asarray(verts[0]), model.flame_model.faces, p)
+                    rgb = np.asarray(rgb).transpose(2, 0, 1)
+                    alpha = np.asarray(alpha)[None]
+                    op = float(msg.get("mesh_opacity", 0.5))
+                    if net_image is None:
+                        net_image = rgb
+                    else:
+                        net_image = (
+                            rgb * alpha * op
+                            + net_image * (alpha * (1 - op) + (1 - alpha))
+                        )
+                gui.send(net_image, {
+                    "num_timesteps": model.num_timesteps,
+                    "num_points": model.n_alive,
+                })
+            if msg["do_training"] and (
+                iteration < total_iterations or not msg["keep_alive"]
+            ):
+                break
+        except Exception:
+            gui.drop()
+
+
 def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
              pipe_cfg: PipelineConfig, testing_iterations=(),
              saving_iterations=(), checkpoint_iterations=(),
              start_checkpoint: Optional[str] = None,
              log_every: int = 10,
-             tb_writer=None):
+             tb_writer=None, gui=None):
     """Full optimization loop (reference train.py:35-214)."""
     os.makedirs(model_cfg.model_path, exist_ok=True)
     save_config(model_cfg.model_path, model_cfg)
@@ -313,6 +385,10 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     history = []
 
     for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
+        if gui is not None:
+            gui_poll(gui, model, state, flame_fixed, pipe_cfg,
+                     iteration, opt_cfg.iterations, step_fns)
+
         # xyz LR schedule (reference train.py:106)
         xyz_lr = float(expon_lr(
             iteration, opt_cfg.position_lr_init * model.spatial_lr_scale,

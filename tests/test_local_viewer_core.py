@@ -1,0 +1,76 @@
+"""Headless local-viewer core: load a saved avatar, render, keyframes."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def saved_avatar(tmp_path_factory):
+    from .flame_fixtures import make_flame_assets
+    from .test_flame_gaussians import make_meshes
+    from gaussianavatars_tpu.models.flame import FlameHead
+    from gaussianavatars_tpu.models.flame_gaussians import FlameGaussianModel
+
+    root = tmp_path_factory.mktemp("viewer_core")
+    paths = make_flame_assets(str(root / "assets"), seed=3)
+    os.environ["FLAME_ASSET_DIR"] = str(root / "assets")
+    head = FlameHead(
+        300, 100,
+        flame_model_path=paths["model"],
+        flame_lmk_embedding_path=paths["lmk"],
+        flame_template_mesh_path=paths["obj"],
+        flame_parts_path="/nonexistent",
+    )
+    m = FlameGaussianModel(sh_degree=1, flame_head=head,
+                           capacity_granularity=16384)
+    m.load_meshes(make_meshes(2), {})
+    m.create_from_pcd(None, None, 1.0)
+    ply = str(root / "pc" / "point_cloud.ply")
+    m.save_ply(ply)
+    return ply, head
+
+
+def test_viewer_core_render_and_keyframes(saved_avatar, tmp_path):
+    ply, head = saved_avatar
+    sys.path.insert(0, REPO)
+    from local_viewer import LocalViewerCore
+
+    # monkeypatch-free: FlameGaussianModel() inside the core builds its own
+    # head from FLAME_ASSET_DIR (set by the fixture)
+    core = LocalViewerCore(ply, sh_degree=1, width=48, height=32, radius=6.0)
+    core.pipe.capacity = 262144
+    core.pipe.chunk = 16
+    assert core.bound
+    assert core.model.num_timesteps == 2
+
+    img = core.render()
+    assert img.shape == (3, 32, 48)
+    assert np.isfinite(img).all()
+
+    # FLAME slider override changes the render
+    core.set_expression(0, 2.5)
+    img2 = core.render()
+    assert np.abs(img2 - img).max() > 1e-5
+
+    # keyframes + trajectory
+    core.add_keyframe()
+    core.cam.orbit_y(0.8)
+    core.timestep = 1
+    core.add_keyframe()
+    frames = core.interpolate_trajectory(10)
+    assert len(frames) == 10
+    assert frames[0]["timestep"] == 0 and frames[-1]["timestep"] == 1
+
+    traj = str(tmp_path / "trajectory.json")
+    core.export_trajectory(traj, n_frames=8)
+    assert os.path.exists(traj)
+
+    core.apply_frame(frames[5])
+    shot = str(tmp_path / "cap.png")
+    core.save_image(shot)
+    assert os.path.exists(shot)

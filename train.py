@@ -67,6 +67,18 @@ def main(argv=None):
     except ImportError:
         print("tensorboardX not available: not logging progress")
 
+    gui = None
+    if not args.no_gui:
+        from gaussianavatars_tpu.viewer.network_gui import NetworkGUI
+
+        gui = NetworkGUI(args.ip, args.port)
+        try:
+            gui.init()
+        except OSError as exc:
+            print(f"[warn] GUI server unavailable on {args.ip}:{args.port}: "
+                  f"{exc}")
+            gui = None
+
     from gaussianavatars_tpu.train.loop import training
 
     training(
@@ -76,7 +88,10 @@ def main(argv=None):
         checkpoint_iterations=set(args.checkpoint_iterations),
         start_checkpoint=args.start_checkpoint,
         tb_writer=tb_writer,
+        gui=gui,
     )
+    if gui is not None:
+        gui.close()
     print("\nTraining complete.")
 
 
