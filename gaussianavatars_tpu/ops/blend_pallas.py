@@ -5,22 +5,26 @@ that module's docstring for the math derivation and the reference CUDA
 semantics being reproduced), mapped onto TPU hardware:
 
   * grid = one program per 16x16 pixel tile (sequential on a TensorCore,
-    auto double-buffered output blocks)
-  * per-tile instance ranges arrive via scalar prefetch (SMEM), so the
-    kernel DMAs only its own chunk-aligned slice of the instance stream
-    from HBM (ragged access without atomics or dynamic allocation)
-  * instance data is packed feature-major as a (16, K) f32 array so a chunk
-    DMA moves an aligned (16, CHUNK) block (lanes = CHUNK = 128)
+    auto double-buffered image blocks)
+  * per-tile instance ranges arrive via scalar prefetch (SMEM); the kernel
+    DMAs its slice of the instance stream from HBM in chunks, with the
+    chunk start floor-aligned to the DMA granularity and out-of-range
+    lanes masked - so the stream needs NO per-tile padding
+  * instance reads are double-buffered: the next chunk's DMA is in flight
+    while the current chunk computes
   * alpha/transmittance math is (P, CHUNK)-shaped VPU work (P = 256 pixels
     on sublanes); color accumulation and the backward reductions are
-    dot_generals that land on the MXU
-  * the early-out is a real `while` loop: saturated tiles stop issuing DMAs
-    (same work-skipping the CUDA kernel gets from its done flag)
+    dot_generals on the MXU; the in-chunk cumsum is a triangular matmul
+  * the early-out is a real `while` loop: saturated tiles stop issuing
+    DMAs (the CUDA done-flag work skipping)
+  * the backward writes per-instance gradient chunks; a chunk shared with
+    the previous tile is accumulated read-modify-write - safe because the
+    Mosaic grid executes sequentially on the core
 
-Layouts:
+Layouts (shared with ops/instance_pack.py):
   inst pack  (16, K):  rows 0:2 mean2d, 2:5 conic, 5:8 color, 8 opacity
   image pack (T, 4, P): rows 0:3 color, 3 transmittance (P = tile pixels)
-  grad pack  (16, K):  rows 0:2 dmean2d, 2:5 dconic, 5:8 dcolor, 8 dopacity
+  grad pack  (16, K):  same rows as inst pack
 """
 
 from __future__ import annotations
@@ -33,20 +37,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gaussianavatars_tpu.ops.instance_pack import (
+    PACK_ROWS,
+    ROW_B,
+    ROW_CXX,
+    ROW_CXY,
+    ROW_CYY,
+    ROW_MX,
+    ROW_MY,
+    ROW_OP,
+    ROW_R,
+)
+
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 LOG_T_EPS = math.log(1e-4)
 
-ROW_MX, ROW_MY = 0, 1
-ROW_CXX, ROW_CXY, ROW_CYY = 2, 3, 4
-ROW_R, ROW_G, ROW_B = 5, 6, 7
-ROW_OP = 8
-PACK_ROWS = 16
-
-
-# ----------------------------------------------------------------------------
-# Packing helpers (plain jnp, outside the kernels)
-# ----------------------------------------------------------------------------
 
 def _pad_pack(inst, k_pad):
     """(16, K) -> (16, k_pad): pad the lane axis to a chunk multiple."""
@@ -62,7 +68,7 @@ def _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad, py_offset=0):
 
     Ends are clamped to the packed capacity so an overflowing stream (true
     demand > capacity bucket) can never drive a DMA out of bounds; the
-    overflow itself is reported upstream via AlignedBinning.total.
+    overflow itself is reported upstream via TileBinning.total.
     """
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_xy = jnp.stack(
@@ -83,7 +89,7 @@ def _cumsum_lanes(x, chunk):
     """Inclusive cumsum along the lane axis via an upper-triangular matmul.
 
     Mosaic has no cumsum primitive; a (P,CH) @ triu(CH,CH) dot_general runs
-    on the MXU and is faster than a log-shift scan at CH=128 anyway.
+    on the MXU and beats a log-shift scan at CH=128.
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -104,10 +110,10 @@ def _pix_coords(tile_size, p):
     return px, py
 
 
-def _chunk_geometry(data, pix_x, pix_y):
-    """Shared fwd/bwd chunk math. data (16, CH); pix (P, 1).
+def _chunk_geometry(data, pix_x, pix_y, lane_ok):
+    """Shared fwd/bwd chunk math. data (16, CH); pix (P, 1); lane_ok (1, CH).
 
-    Returns (alpha, lo, dx, dy, expw, unclamped, okmask) all (P, CH).
+    Returns (alpha, dx, dy, expw, unclamped) all (P, CH).
     """
     dx = data[ROW_MX, :][None, :] - pix_x          # (P, CH)
     dy = data[ROW_MY, :][None, :] - pix_y
@@ -119,25 +125,30 @@ def _chunk_geometry(data, pix_x, pix_y):
     expw = jnp.exp(jnp.minimum(power, 0.0))
     e = data[ROW_OP, :][None, :] * expw
     alpha = jnp.minimum(ALPHA_MAX, e)
-    ok = (power <= 0.0) & (e >= ALPHA_MIN)
+    ok = (power <= 0.0) & (e >= ALPHA_MIN) & lane_ok
     alpha = jnp.where(ok, alpha, 0.0)
     unclamped = ok & (e < ALPHA_MAX)
     return alpha, dx, dy, expw, unclamped
+
+
+def _lane_mask(offset, start, end, chunk):
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + offset
+    return (lanes >= start) & (lanes < end)
 
 
 # ----------------------------------------------------------------------------
 # Forward kernel
 # ----------------------------------------------------------------------------
 
-def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sem,
+def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
                 logt_all, logt_app, color_acc, *, tile_size, chunk):
     p = tile_size * tile_size
     t = pl.program_id(0)
     start = ranges_ref[t, 0]
     end = ranges_ref[t, 1]
+    astart = (start // chunk) * chunk
 
     pix_x, pix_y = _pix_coords(tile_size, p)
-    # tile origin: the caller passes tile_xy through ranges columns 2,3
     pix_x = pix_x + ranges_ref[t, 2].astype(jnp.float32)
     pix_y = pix_y + ranges_ref[t, 3].astype(jnp.float32)
 
@@ -145,21 +156,35 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sem,
     logt_app[...] = jnp.zeros_like(logt_app)
     color_acc[...] = jnp.zeros_like(color_acc)
 
+    def chunk_dma(offset, slot):
+        offset = pl.multiple_of((offset // chunk) * chunk, chunk)
+        return pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds(offset, chunk)], scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(astart < end)
+    def _():
+        chunk_dma(astart, (astart // chunk) % 2).start()
+
     def cond(offset):
         return (offset < end) & (jnp.max(logt_all[...]) >= LOG_T_EPS)
 
     def body(offset):
-        # chunk-aligned by construction (ops/binning.chunk_align)
-        offset = pl.multiple_of(offset, chunk)
-        dma = pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(offset, chunk)], scratch, sem
-        )
-        dma.start()
-        dma.wait()
-        data = scratch[...]
+        slot = (offset // chunk) % 2
+        nxt = offset + chunk
 
-        alpha, _, _, _, _ = _chunk_geometry(data, pix_x, pix_y)
-        lo = jnp.log1p(-alpha)                              # (P, CH)
+        # prefetch the next chunk while this one computes
+        @pl.when(nxt < end)
+        def _():
+            chunk_dma(nxt, 1 - slot).start()
+
+        chunk_dma(offset, slot).wait()
+        data = scratch[slot]
+
+        lane_ok = _lane_mask(offset, start, end, chunk)
+        alpha, _, _, _, _ = _chunk_geometry(data, pix_x, pix_y, lane_ok)
+        lo = jnp.log1p(-alpha)
         cum = _cumsum_lanes(lo, chunk)
         mask = (logt_all[...] + cum) >= LOG_T_EPS
         weight = jnp.where(
@@ -178,7 +203,12 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sem,
         logt_app[...] += jnp.sum(lo * mask, axis=1, keepdims=True)
         return offset + chunk
 
-    jax.lax.while_loop(cond, body, start)
+    final = jax.lax.while_loop(cond, body, astart)
+
+    # an early-out may leave one prefetched DMA in flight; absorb it
+    @pl.when(final < end)
+    def _():
+        chunk_dma(final, (final // chunk) % 2).wait()
 
     out_ref[0, 0:3, :] = color_acc[...].T
     out_ref[0, 3, :] = jnp.exp(logt_app[...])[:, 0]
@@ -211,8 +241,8 @@ def blend_image_fwd_pallas(
                 (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, PACK_ROWS, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((p, 1), jnp.float32),
                 pltpu.VMEM((p, 1), jnp.float32),
                 pltpu.VMEM((p, 3), jnp.float32),
@@ -236,12 +266,13 @@ def blend_image_fwd_pallas(
 # ----------------------------------------------------------------------------
 
 def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
-                scratch, gscratch, sem, gsem,
+                scratch, gscratch, accscratch, sems, gsem,
                 logt_all, logt_app, s_prefix, *, tile_size, chunk):
     p = tile_size * tile_size
     t = pl.program_id(0)
     start = ranges_ref[t, 0]
     end = ranges_ref[t, 1]
+    astart = (start // chunk) * chunk
 
     pix_x, pix_y = _pix_coords(tile_size, p)
     pix_x = pix_x + ranges_ref[t, 2].astype(jnp.float32)
@@ -252,7 +283,6 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
     g_color = gpack_ref[0, 0:3, :]                          # (3, P)
     g_t = gpack_ref[0, 3, :]                                # (P,)
 
-    # S_total = G . C_out per pixel; gt_term = g_t * T_final.
     s_total = jnp.sum(g_color * out_color, axis=0)[:, None]  # (P, 1)
     gt_term = (g_t * out_t)[:, None]                         # (P, 1)
 
@@ -260,20 +290,56 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
     logt_app[...] = jnp.zeros_like(logt_app)
     s_prefix[...] = jnp.zeros_like(s_prefix)
 
+    def read_dma(offset, slot):
+        offset = pl.multiple_of((offset // chunk) * chunk, chunk)
+        return pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds(offset, chunk)], scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(astart < end)
+    def _():
+        read_dma(astart, (astart // chunk) % 2).start()
+
+    def write_grads(offset, accumulate):
+        """Write gscratch at the chunk containing `offset`; read-modify-
+        write when the chunk is shared with the previous tile (the Mosaic
+        grid runs sequentially, so this is race-free)."""
+        off = pl.multiple_of((offset // chunk) * chunk, chunk)
+
+        @pl.when(accumulate)
+        def _():
+            rd = pltpu.make_async_copy(
+                grad_hbm.at[:, pl.ds(off, chunk)], accscratch, gsem
+            )
+            rd.start()
+            rd.wait()
+            gscratch[...] += accscratch[...]
+
+        wr = pltpu.make_async_copy(
+            gscratch, grad_hbm.at[:, pl.ds(off, chunk)], gsem
+        )
+        wr.start()
+        wr.wait()
+
     def cond(offset):
         return (offset < end) & (jnp.max(logt_all[...]) >= LOG_T_EPS)
 
     def body(offset):
-        # chunk-aligned by construction (ops/binning.chunk_align)
-        offset = pl.multiple_of(offset, chunk)
-        dma = pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(offset, chunk)], scratch, sem
-        )
-        dma.start()
-        dma.wait()
-        data = scratch[...]
+        slot = (offset // chunk) % 2
+        nxt = offset + chunk
 
-        alpha, dx, dy, expw, unclamped = _chunk_geometry(data, pix_x, pix_y)
+        @pl.when(nxt < end)
+        def _():
+            read_dma(nxt, 1 - slot).start()
+
+        read_dma(offset, slot).wait()
+        data = scratch[slot]
+
+        lane_ok = _lane_mask(offset, start, end, chunk)
+        alpha, dx, dy, expw, unclamped = _chunk_geometry(
+            data, pix_x, pix_y, lane_ok
+        )
         lo = jnp.log1p(-alpha)
         cum = _cumsum_lanes(lo, chunk)
         mask = (logt_all[...] + cum) >= LOG_T_EPS
@@ -309,7 +375,6 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         gc_yy = d_power * (-0.5 * dy * dy)
         d_op = jnp.where(unclamped & mask, d_alpha, 0.0) * expw
 
-        # reduce over pixels -> (CH,) rows of the grad pack
         gscratch[ROW_MX, :] = jnp.sum(gm_x, axis=0)
         gscratch[ROW_MY, :] = jnp.sum(gm_y, axis=0)
         gscratch[ROW_CXX, :] = jnp.sum(gc_xx, axis=0)
@@ -327,31 +392,28 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             (PACK_ROWS - ROW_OP - 1, chunk), jnp.float32
         )
 
-        wdma = pltpu.make_async_copy(
-            gscratch, grad_hbm.at[:, pl.ds(offset, chunk)], gsem
-        )
-        wdma.start()
-        wdma.wait()
+        write_grads(offset, offset < start)
 
         logt_all[...] += cum[:, -1:]
         logt_app[...] += jnp.sum(lo * mask, axis=1, keepdims=True)
         s_prefix[...] = s_incl[:, -1:]
         return offset + chunk
 
-    offset = jax.lax.while_loop(cond, body, start)
+    offset = jax.lax.while_loop(cond, body, astart)
 
-    # Zero-fill grads for chunks skipped by the early-out.
+    # absorb a possible in-flight prefetch after an early-out
+    @pl.when(offset < end)
+    def _():
+        read_dma(offset, (offset // chunk) % 2).wait()
+
+    # zero-fill grads for chunks skipped by the early-out (accumulating
+    # into a boundary chunk the previous tile already wrote)
     def zcond(off):
         return off < end
 
     def zbody(off):
-        off = pl.multiple_of(off, chunk)
         gscratch[...] = jnp.zeros_like(gscratch)
-        wdma = pltpu.make_async_copy(
-            gscratch, grad_hbm.at[:, pl.ds(off, chunk)], gsem
-        )
-        wdma.start()
-        wdma.wait()
+        write_grads(off, off < start)
         return off + chunk
 
     jax.lax.while_loop(zcond, zbody, offset)
@@ -402,9 +464,10 @@ def blend_image_bwd_pallas(
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
+                pltpu.VMEM((2, PACK_ROWS, chunk), jnp.float32),
                 pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
                 pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
                 pltpu.VMEM((p, 1), jnp.float32),
                 pltpu.VMEM((p, 1), jnp.float32),

@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gaussianavatars_tpu.ops.binning import bin_gaussians, chunk_align
+from gaussianavatars_tpu.ops.binning import bin_gaussians
 from gaussianavatars_tpu.ops.projection import (
     CameraParams,
     ProjectedGaussians,
@@ -100,21 +100,17 @@ def rasterize(
         means2d_cull=jax.lax.stop_gradient(proj.means2d),
         r2_max=jax.lax.stop_gradient(proj.r2_max),
     )
-    # Chunk-aligned relayout: every tile owns whole chunks, which lets the
-    # Pallas backward write per-tile gradient chunks without overlap and
-    # keeps both backends on one canonical layout.
-    aligned = chunk_align(binning, chunk, capacity)
-
     # Differentiable single-gather of packed per-gaussian data: gradients
     # flow from per-instance grads back to per-gaussian tensors via the
-    # transpose (segment-sum) of this gather.
+    # transpose (segment-sum) of this gather. No per-tile padding: the
+    # Pallas kernels floor-align chunk starts and mask stray lanes.
     pack = pack_projected(
         proj.means2d, proj.conics, proj.colors, proj.opacities
     )
-    inst = gather_instances(pack, aligned.gaussian_ids, aligned.slot_valid)
+    inst = gather_instances(pack, binning.gaussian_ids, binning.instance_valid)
 
     ranges = jnp.stack(
-        [aligned.tile_starts, aligned.tile_ends], axis=-1
+        [binning.tile_starts, binning.tile_ends], axis=-1
     ).astype(jnp.float32)
 
     # slab height is static: full image without a window, else the window's
@@ -136,5 +132,5 @@ def rasterize(
         transmittance=trans,
         radii=proj.radii,
         visibility=proj.valid,
-        instance_total=aligned.total,
+        instance_total=binning.total,
     )

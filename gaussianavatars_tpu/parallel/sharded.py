@@ -71,7 +71,7 @@ def _gathered_render(
     pid = jax.lax.axis_index("prim")
     row_start = pid * rows_per
 
-    from gaussianavatars_tpu.ops.binning import bin_gaussians, chunk_align
+    from gaussianavatars_tpu.ops.binning import bin_gaussians
     from gaussianavatars_tpu.ops.tile_blend import blend_image
 
     binning = bin_gaussians(
@@ -83,7 +83,6 @@ def _gathered_render(
         means2d_cull=jax.lax.stop_gradient(proj_all.means2d),
         r2_max=jax.lax.stop_gradient(proj_all.r2_max),
     )
-    aligned = chunk_align(binning, chunk, capacity)
     from gaussianavatars_tpu.ops.instance_pack import (
         gather_instances, pack_projected,
     )
@@ -92,9 +91,11 @@ def _gathered_render(
         proj_all.means2d, proj_all.conics, proj_all.colors,
         proj_all.opacities,
     )
-    inst = gather_instances(pack, aligned.gaussian_ids, aligned.slot_valid)
+    inst = gather_instances(
+        pack, binning.gaussian_ids, binning.instance_valid
+    )
     ranges = jnp.stack(
-        [aligned.tile_starts, aligned.tile_ends], axis=-1
+        [binning.tile_starts, binning.tile_ends], axis=-1
     ).astype(jnp.float32)
 
     py_offset = row_start * tile_size
@@ -103,7 +104,7 @@ def _gathered_render(
         camera.width, rows_per * tile_size, tile_size, chunk, backend,
     )
     slab = color + trans[None, :, :] * bg[:, None, None]
-    return slab, proj_local.radii, proj_local.valid, aligned.total
+    return slab, proj_local.radii, proj_local.valid, binning.total
 
 
 def _camera_from_tuple(cam, width, height):
