@@ -209,7 +209,6 @@ def project_gaussians(
     mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
     lambda_max = mid + disc
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
 
     # Conservative reach bound for precise tile culling: the quadratic form
     # q(d) = d^T conic d >= ||d||^2 / lambda_max(cov2d) (the conic's min
@@ -219,6 +218,14 @@ def project_gaussians(
     # alpha < 1/255 anyway).
     tau = 2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-12))
     r2_max = jnp.where(tau > 0.0, tau * jnp.maximum(lambda_max, 0.0), -1.0)
+
+    # Screen radius: min(3 sigma_max, opacity reach). The reach bound
+    # tightens the rect for translucent gaussians (and zeroes it when the
+    # peak alpha can never hit 1/255) without changing any blended pixel.
+    radius_f = jnp.ceil(jnp.minimum(
+        3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)),
+        jnp.sqrt(jnp.maximum(r2_max, 0.0)),
+    ))
 
     valid = in_front & det_ok
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
