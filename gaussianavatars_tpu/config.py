@@ -30,7 +30,11 @@ def _add_group(parser: ArgumentParser, cfg, name: str, shorthand_fields=(),
         if key in shorthand_fields:
             flags.append(f"-{key[0]}")
         if isinstance(default, bool):
-            group.add_argument(*flags, default=default, action="store_true")
+            # sentinel: unset bool flags stay None so a saved config wins
+            group.add_argument(
+                *flags, default=None if sentinel else default,
+                action="store_true",
+            )
         else:
             group.add_argument(
                 *flags, default=None if sentinel else default,

@@ -25,24 +25,28 @@ PACK_ROWS = 16
 
 
 def pack_projected(means2d, conics, colors, opacities) -> jnp.ndarray:
-    """[N,2]/[N,3]/[N,3]/[N] -> (16, N) f32 (differentiable)."""
+    """[N,2]/[N,3]/[N,3]/[N] -> (N, 16) f32 (differentiable).
+
+    Row-major per-gaussian rows: the instance gather then reads contiguous
+    64B rows (a column gather of a (16, N) layout would stride by N)."""
     n = means2d.shape[0]
-    rows = jnp.concatenate(
-        [means2d.T, conics.T, colors.T, opacities[None, :]], axis=0
-    )  # (9, N)
+    cols = jnp.concatenate(
+        [means2d, conics, colors, opacities[:, None]], axis=1
+    )  # (N, 9)
     return jnp.concatenate(
-        [rows, jnp.zeros((PACK_ROWS - rows.shape[0], n), rows.dtype)], axis=0
+        [cols, jnp.zeros((n, PACK_ROWS - cols.shape[1]), cols.dtype)], axis=1
     )
 
 
 def gather_instances(pack: jnp.ndarray, ids: jnp.ndarray,
                      slot_valid: jnp.ndarray) -> jnp.ndarray:
-    """(16, N) x [K] -> (16, K); dead slots get zero opacity.
+    """(N, 16) x [K] -> (16, K); dead slots get zero opacity.
 
-    Differentiable: the transpose is a segment-sum back to owner columns.
+    Row gather (contiguous) followed by a dense transpose into the
+    feature-major layout the Pallas kernels DMA. Differentiable: the
+    transpose of the gather is a segment-sum back to owner rows.
     """
-    inst = pack[:, ids]
-    # zero the opacity row on padding slots so they blend as no-ops
+    inst = pack[ids].T                                  # (16, K)
     mask = slot_valid.astype(inst.dtype)[None, :]
     row_sel = (jnp.arange(PACK_ROWS) == ROW_OP)[:, None]
     return jnp.where(row_sel, inst * mask, inst)

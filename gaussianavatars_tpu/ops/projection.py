@@ -64,6 +64,93 @@ class CameraParams(NamedTuple):
     height: int               # static
 
 
+def _cov3d_components(scales, quats, scaling_modifier=1.0):
+    """Sigma = R S S^T R^T as six [N] component vectors (xx,xy,xz,yy,yz,zz).
+
+    Componentized (no [N,3,3] temporaries): small trailing dims are layout-
+    hostile on TPU, and flat [N] vectors let XLA fuse the whole projection
+    into one elementwise kernel.
+    """
+    from gaussianavatars_tpu.ops.quaternion import quat_normalize
+
+    q = quat_normalize(quats)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+
+    s0 = (scaling_modifier * scales[..., 0]) ** 2
+    s1 = (scaling_modifier * scales[..., 1]) ** 2
+    s2 = (scaling_modifier * scales[..., 2]) ** 2
+
+    cxx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    cxy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    cxz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    cyy = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    cyz = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    czz = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return cxx, cxy, cxz, cyy, cyz, czz
+
+
+def compute_cov2d_components(
+    mean3d, cov3d_comps, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy,
+):
+    """EWA projection, fully componentized. Returns (xx, xy, yy) [N] each,
+    including the 0.3 px low-pass dilation."""
+    # view-space position (row-vector convention; viewmatrix transposed)
+    vm = viewmatrix
+    tx_ = mean3d[..., 0] * vm[0, 0] + mean3d[..., 1] * vm[1, 0] \
+        + mean3d[..., 2] * vm[2, 0] + vm[3, 0]
+    ty_ = mean3d[..., 0] * vm[0, 1] + mean3d[..., 1] * vm[1, 1] \
+        + mean3d[..., 2] * vm[2, 1] + vm[3, 1]
+    tz_ = mean3d[..., 0] * vm[0, 2] + mean3d[..., 1] * vm[1, 2] \
+        + mean3d[..., 2] * vm[2, 2] + vm[3, 2]
+    # Culled gaussians (z <= 0.2) never reach the blend, but their jacobian
+    # must stay finite: a 0-cotangent times an inf-jacobian is NaN, and the
+    # NaN would leak into shared upstream params (FLAME pose/expr).
+    tz = jnp.maximum(tz_, 0.2)
+
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tx = jnp.clip(tx_ / tz, -limx, limx) * tz
+    ty = jnp.clip(ty_ / tz, -limy, limy) * tz
+
+    inv_z = 1.0 / tz
+    j00 = focal_x * inv_z
+    j02 = -(focal_x * tx) * inv_z * inv_z
+    j11 = focal_y * inv_z
+    j12 = -(focal_y * ty) * inv_z * inv_z
+
+    # rows of M = J @ W with W = world->view rotation (vm[:3,:3].T):
+    # M[0] = j00 * W_row0 + j02 * W_row2;  W_row_i = vm[:, i]
+    m00 = j00 * vm[0, 0] + j02 * vm[0, 2]
+    m01 = j00 * vm[1, 0] + j02 * vm[1, 2]
+    m02 = j00 * vm[2, 0] + j02 * vm[2, 2]
+    m10 = j11 * vm[0, 1] + j12 * vm[0, 2]
+    m11 = j11 * vm[1, 1] + j12 * vm[1, 2]
+    m12 = j11 * vm[2, 1] + j12 * vm[2, 2]
+
+    cxx, cxy, cxz, cyy, cyz, czz = cov3d_comps
+    # S = Sigma @ M^T columns, then cov2d = M @ S
+    s0x = cxx * m00 + cxy * m01 + cxz * m02
+    s1x = cxy * m00 + cyy * m01 + cyz * m02
+    s2x = cxz * m00 + cyz * m01 + czz * m02
+    s0y = cxx * m10 + cxy * m11 + cxz * m12
+    s1y = cxy * m10 + cyy * m11 + cyz * m12
+    s2y = cxz * m10 + cyz * m11 + czz * m12
+
+    out_xx = m00 * s0x + m01 * s1x + m02 * s2x + 0.3
+    out_xy = m00 * s0y + m01 * s1y + m02 * s2y
+    out_yy = m10 * s0y + m11 * s1y + m12 * s2y + 0.3
+    return out_xx, out_xy, out_yy
+
+
 def compute_cov2d(
     mean3d: jnp.ndarray,
     cov3d: jnp.ndarray,
@@ -73,53 +160,12 @@ def compute_cov2d(
     tan_fovx: float,
     tan_fovy: float,
 ) -> jnp.ndarray:
-    """EWA projection of a 3D covariance to screen space. [N,3,3]x -> [N,3].
-
-    Returns packed (xx, xy, yy) of the 2D covariance including the 0.3 px
-    low-pass dilation.
-    """
-    ones = jnp.ones_like(mean3d[..., :1])
-    t = jnp.matmul(jnp.concatenate([mean3d, ones], axis=-1), viewmatrix,
-                  precision=jax.lax.Precision.HIGHEST)  # [N, 4]
-    # Culled gaussians (z <= 0.2) never reach the blend, but their jacobian
-    # must stay finite: a 0-cotangent times an inf-jacobian is NaN, and the
-    # NaN would leak into shared upstream params (FLAME pose/expr).
-    tz = jnp.maximum(t[..., 2], 0.2)
-
-    limx = 1.3 * tan_fovx
-    limy = 1.3 * tan_fovy
-    txtz = jnp.clip(t[..., 0] / tz, -limx, limx)
-    tytz = jnp.clip(t[..., 1] / tz, -limy, limy)
-    tx = txtz * tz
-    ty = tytz * tz
-
-    zero = jnp.zeros_like(tz)
-    # Perspective Jacobian rows (third output row is zero).
-    j00 = focal_x / tz
-    j02 = -(focal_x * tx) / (tz * tz)
-    j11 = focal_y / tz
-    j12 = -(focal_y * ty) / (tz * tz)
-    J = jnp.stack(
-        [
-            jnp.stack([j00, zero, j02], axis=-1),
-            jnp.stack([zero, j11, j12], axis=-1),
-        ],
-        axis=-2,
-    )  # [N, 2, 3]
-
-    W = viewmatrix[:3, :3].T  # world->view rotation acting on column vectors
-    # M = J @ W: [N, 2, 3]; cov2d = M @ Sigma @ M^T. Full f32: the TPU's
-    # default bf16 matmul precision visibly distorts conics.
-    hi = jax.lax.Precision.HIGHEST
-    M = jnp.matmul(J, W, precision=hi)
-    cov2d = jnp.matmul(
-        jnp.matmul(M, cov3d, precision=hi),
-        jnp.swapaxes(M, -1, -2), precision=hi,
-    )  # [N, 2, 2]
-
-    xx = cov2d[..., 0, 0] + 0.3
-    yy = cov2d[..., 1, 1] + 0.3
-    xy = cov2d[..., 0, 1]
+    """EWA projection from full [N,3,3] covariances (compat wrapper)."""
+    comps = (cov3d[..., 0, 0], cov3d[..., 0, 1], cov3d[..., 0, 2],
+             cov3d[..., 1, 1], cov3d[..., 1, 2], cov3d[..., 2, 2])
+    xx, xy, yy = compute_cov2d_components(
+        mean3d, comps, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy
+    )
     return jnp.stack([xx, xy, yy], axis=-1)
 
 
@@ -189,13 +235,16 @@ def project_gaussians(
     )
 
     if cov3d_precomp is not None:
-        cov3d = cov3d_precomp
+        comps = (cov3d_precomp[..., 0, 0], cov3d_precomp[..., 0, 1],
+                 cov3d_precomp[..., 0, 2], cov3d_precomp[..., 1, 1],
+                 cov3d_precomp[..., 1, 2], cov3d_precomp[..., 2, 2])
     else:
-        cov3d = build_covariance_3d(scales, quats, scaling_modifier)
-    cov2d = compute_cov2d(
-        means3d, cov3d, camera.viewmatrix, focal_x, focal_y,
+        comps = _cov3d_components(scales, quats, scaling_modifier)
+    c2xx, c2xy, c2yy = compute_cov2d_components(
+        means3d, comps, camera.viewmatrix, focal_x, focal_y,
         camera.tan_fovx, camera.tan_fovy,
     )
+    cov2d = jnp.stack([c2xx, c2xy, c2yy], axis=-1)
 
     det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] ** 2
     det_ok = det > 0.0

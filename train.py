@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--no_gui", action="store_true",
                         help="disable the network GUI server")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace here (xprof format)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed (multi-host pods)")
     args = parser.parse_args(argv)
 
     if args.interval > args.iterations:
@@ -50,6 +54,12 @@ def main(argv=None):
 
     import jax
 
+    if args.distributed:
+        from gaussianavatars_tpu.parallel.distributed import (
+            initialize_distributed,
+        )
+
+        initialize_distributed()
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
 
@@ -58,6 +68,11 @@ def main(argv=None):
     pipe_cfg = PipelineConfig.extract(args)
 
     print("Optimizing " + model_cfg.model_path)
+
+    # seeded RNG + timestamped stdout (reference train.py:345)
+    from gaussianavatars_tpu.utils.system import safe_state
+
+    safe_state(args.quiet)
 
     tb_writer = None
     try:
@@ -80,16 +95,18 @@ def main(argv=None):
             gui = None
 
     from gaussianavatars_tpu.train.loop import training
+    from gaussianavatars_tpu.utils.system import profile_trace
 
-    training(
-        model_cfg, opt_cfg, pipe_cfg,
-        testing_iterations=set(args.test_iterations),
-        saving_iterations=set(args.save_iterations),
-        checkpoint_iterations=set(args.checkpoint_iterations),
-        start_checkpoint=args.start_checkpoint,
-        tb_writer=tb_writer,
-        gui=gui,
-    )
+    with profile_trace(args.profile_dir):
+        training(
+            model_cfg, opt_cfg, pipe_cfg,
+            testing_iterations=set(args.test_iterations),
+            saving_iterations=set(args.save_iterations),
+            checkpoint_iterations=set(args.checkpoint_iterations),
+            start_checkpoint=args.start_checkpoint,
+            tb_writer=tb_writer,
+            gui=gui,
+        )
     if gui is not None:
         gui.close()
     print("\nTraining complete.")
