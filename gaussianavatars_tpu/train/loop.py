@@ -422,15 +422,17 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             timestep, lrs,
         )
 
-        if int(instance_total) > pipe_cfg.capacity:
-            print(f"[warn] instance overflow {int(instance_total)} > "
-                  f"{pipe_cfg.capacity}; growing bucket")
-            pipe_cfg.capacity = int(1.5 * int(instance_total))
-            step_fns.clear()
-
-        total = float(losses["total"])
-        ema_loss = 0.4 * total + 0.6 * ema_loss
-        if iteration % log_every == 0:
+        # Only touch device values periodically: a float()/int() every
+        # iteration would force a host sync per step and serialize the
+        # dispatch pipeline.
+        if iteration % log_every == 0 or iteration == opt_cfg.iterations:
+            if int(instance_total) > pipe_cfg.capacity:
+                print(f"[warn] instance overflow {int(instance_total)} > "
+                      f"{pipe_cfg.capacity}; growing bucket")
+                pipe_cfg.capacity = int(1.5 * int(instance_total))
+                step_fns.clear()
+            total = float(losses["total"])
+            ema_loss = 0.4 * total + 0.6 * ema_loss
             history.append((iteration, ema_loss))
             if tb_writer is not None:
                 for k, v in losses.items():
