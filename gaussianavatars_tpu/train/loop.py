@@ -207,10 +207,27 @@ def make_render_fn(model, pipe_cfg: PipelineConfig, width: int, height: int,
         means3d, scales, quats, opac, shs = world_space_gaussians(
             params, binding if bound else None, frames
         )
+        # debug pipeline flags (reference gaussian_renderer/__init__.py:63-81):
+        # precompute covariance / SH colors outside the rasterizer core
+        colors_precomp = None
+        cov3d_precomp = None
+        if pipe_cfg.convert_SHs_python:
+            from gaussianavatars_tpu.ops.sh import eval_sh
+
+            dirs = means3d - camera.campos
+            dirs = dirs / jnp.maximum(
+                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+            colors_precomp = jnp.maximum(
+                eval_sh(sh_degree, jnp.swapaxes(shs, -1, -2), dirs) + 0.5, 0.0)
+        if pipe_cfg.compute_cov3D_python:
+            from gaussianavatars_tpu.ops.covariance import build_covariance_3d
+
+            cov3d_precomp = build_covariance_3d(scales, quats)
         out = rasterize(
             means3d, scales, quats, opac, shs, sh_degree, camera, bg,
             capacity=pipe_cfg.capacity, tile_size=pipe_cfg.tile_size,
             chunk=pipe_cfg.chunk, backend=pipe_cfg.backend, active=active,
+            colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
         )
         return out.image
 

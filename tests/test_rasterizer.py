@@ -176,3 +176,42 @@ class TestBinning:
             seg = ids[starts[t]:ends[t]]
             d = depths[seg]
             assert (np.diff(d) >= 0).all()
+
+
+class TestPythonPaths:
+    """Debug pipeline flags: precomputed covariance / SH colors must match
+    the in-rasterizer paths (reference gaussian_renderer/__init__.py:63-81)."""
+
+    def test_cov3d_and_colors_precomp_match(self):
+        from gaussianavatars_tpu.ops.covariance import build_covariance_3d
+        from gaussianavatars_tpu.ops.sh import eval_sh
+
+        cam = make_camera(width=48, height=40)
+        scene = make_scene(n=40, seed=11)
+        base = tile_render(scene, cam)
+
+        cov3d = build_covariance_3d(scene["scales"], scene["quats"])
+        out_cov = rasterize(
+            scene["means3d"], scene["scales"], scene["quats"],
+            scene["opacities"], scene["shs"], 2, cam, BG,
+            capacity=4096, tile_size=16, chunk=8,
+            cov3d_precomp=cov3d,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_cov.image), np.asarray(base.image), atol=1e-5
+        )
+
+        dirs = scene["means3d"] - cam.campos
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        colors = jnp.maximum(
+            eval_sh(2, jnp.swapaxes(scene["shs"], -1, -2), dirs) + 0.5, 0.0
+        )
+        out_col = rasterize(
+            scene["means3d"], scene["scales"], scene["quats"],
+            scene["opacities"], scene["shs"], 2, cam, BG,
+            capacity=4096, tile_size=16, chunk=8,
+            colors_precomp=colors,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_col.image), np.asarray(base.image), atol=1e-5
+        )
