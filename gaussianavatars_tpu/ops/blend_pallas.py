@@ -86,20 +86,20 @@ def _interpret():
 
 
 def _cumsum_lanes(x, chunk):
-    """Inclusive cumsum along the lane axis via an upper-triangular matmul.
+    """Inclusive cumsum along the lane axis (Hillis-Steele log-shift scan).
 
-    Mosaic has no cumsum primitive; a (P,CH) @ triu(CH,CH) dot_general runs
-    on the MXU and beats a log-shift scan at CH=128.
+    Mosaic has no cumsum primitive. log2(CH) masked circular rolls cost
+    ~3*log2(CH) VPU ops/element vs CH MACs/element for the triangular-
+    matmul alternative — at CH=128 that matmul would dominate the whole
+    blend kernel's FLOPs.
     """
-    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    tri = (rows <= cols).astype(jnp.float32)
-    return jax.lax.dot_general(
-        x, tri,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    shift = 1
+    while shift < chunk:
+        rolled = pltpu.roll(x, shift, 1)
+        x = x + jnp.where(lanes >= shift, rolled, 0.0)
+        shift *= 2
+    return x
 
 
 def _pix_coords(tile_size, p):

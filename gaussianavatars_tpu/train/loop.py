@@ -401,6 +401,11 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     t_start = time.time()
     history = []
 
+    from tqdm import tqdm
+
+    progress = tqdm(range(first_iter, opt_cfg.iterations),
+                    desc="Training progress")
+
     for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
         if gui is not None:
             gui_poll(gui, model, state, flame_fixed, pipe_cfg,
@@ -451,6 +456,8 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             total = float(losses["total"])
             ema_loss = 0.4 * total + 0.6 * ema_loss
             history.append((iteration, ema_loss))
+            progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
+            progress.update(min(log_every, opt_cfg.iterations - progress.n))
             if tb_writer is not None:
                 for k, v in losses.items():
                     tb_writer.add_scalar(
@@ -520,7 +527,8 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
         if iteration in testing_iterations:
             metrics = evaluate_splits(
-                model, scene, model_cfg, pipe_cfg, state, flame_fixed, bg
+                model, scene, model_cfg, pipe_cfg, state, flame_fixed, bg,
+                tb_writer=tb_writer, iteration=iteration,
             )
             for split, m in metrics.items():
                 print(f"[ITER {iteration}] Evaluating {split}: "
@@ -530,6 +538,12 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                         tb_writer.add_scalar(
                             f"{split}/loss_viewpoint - {k}", v, iteration
                         )
+            if tb_writer is not None:
+                opac = np.asarray(
+                    jax.nn.sigmoid(state.params.opacity[:model.n_alive, 0])
+                )
+                tb_writer.add_histogram(
+                    "scene/opacity_histogram", opac, iteration)
 
         if iteration in checkpoint_iterations:
             save_checkpoint(
@@ -537,6 +551,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 os.path.join(model_cfg.model_path, f"chkpnt{iteration}.npz"),
             )
 
+    progress.close()
     loader.stop()
     elapsed = time.time() - t_start
     return model, state, {"ema_loss": ema_loss, "elapsed": elapsed,
@@ -557,9 +572,10 @@ _EVAL_RENDER_FNS: dict = {}
 
 
 def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
-                    flame_fixed, bg):
+                    flame_fixed, bg, tb_writer=None, iteration=0,
+                    num_vis_img: int = 10):
     """Val (novel view) + test (self-reenactment) sweeps
-    (reference train.py:256-314)."""
+    (reference train.py:256-314), incl. TB render/error image grids."""
     bound = getattr(model, "binding", None) is not None
     flame_full = {**flame_fixed, **state.flame_tr} if bound else {}
     results = {}
@@ -573,7 +589,11 @@ def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
         if not cameras:
             continue
         l1s, psnrs, ssims = [], [], []
-        for cam, gt in iterate_once(cameras, model_cfg.resolution):
+        vis_every = max(len(cameras) // num_vis_img, 1)
+        vis_ct = 0
+        for idx, (cam, gt) in enumerate(
+            iterate_once(cameras, model_cfg.resolution)
+        ):
             p = cam.to_params(*cam.resolution(model_cfg.resolution))
             key = (p.width, p.height)
             if key not in render_fns:
@@ -592,6 +612,17 @@ def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
             l1s.append(float(l1_metric(img, gt_j)))
             psnrs.append(float(psnr(img, gt_j)[0]))
             ssims.append(float(ssim_metric(img, gt_j)))
+            if tb_writer is not None and idx % vis_every == 0:
+                from gaussianavatars_tpu.utils.image import error_map
+
+                tb_writer.add_images(
+                    f"{split}_{vis_ct}/render", np.asarray(img)[None],
+                    global_step=iteration)
+                tb_writer.add_images(
+                    f"{split}_{vis_ct}/error",
+                    error_map(np.asarray(img), np.asarray(gt_j))[None],
+                    global_step=iteration)
+                vis_ct += 1
         results[split] = {
             "l1_loss": float(np.mean(l1s)),
             "psnr": float(np.mean(psnrs)),
