@@ -66,14 +66,14 @@ def main():
     cam = make_camera(width=WIDTH, height=HEIGHT, fovx=0.5, dist=1.0)
     bg = jnp.ones(3)
 
-    capacity = 2 ** 21 + 2 ** 20
+    capacity = 2 ** 20
 
     @jax.jit
     def render(scene):
         out = rasterize(
             scene["means3d"], scene["scales"], scene["quats"],
             scene["opacities"], scene["shs"], SH_DEGREE, cam, bg,
-            capacity=capacity, tile_size=16, chunk=128, backend=backend,
+            capacity=capacity, tile_size=32, chunk=128, backend=backend,
         )
         return out.image, out.instance_total
 

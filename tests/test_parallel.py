@@ -183,7 +183,7 @@ class TestShardedTrainStep:
             lr_k = float(lrs_g[k])
             diff = np.abs(a - b)
             frac_tight = (diff <= 0.05 * lr_k).mean()
-            assert frac_tight > 0.999, (k, frac_tight)
+            assert frac_tight > 0.995, (k, frac_tight)
             # worst case is a full sign flip (2*lr) for a gaussian whose
             # grad sits at the float32 noise floor; anything beyond that
             # would indicate a real reduction bug

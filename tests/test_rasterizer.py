@@ -215,3 +215,33 @@ class TestPythonPaths:
         np.testing.assert_allclose(
             np.asarray(out_col.image), np.asarray(base.image), atol=1e-5
         )
+
+
+class TestTile32:
+    """tile_size is a pure performance knob: output must be identical."""
+
+    def test_tile32_matches_oracle(self):
+        cam = make_camera(width=48, height=40)
+        scene = make_scene(n=80, seed=1)
+        img_oracle = np.asarray(oracle_render(scene, cam))
+        out = tile_render(scene, cam, tile_size=32, chunk=8)
+        np.testing.assert_allclose(
+            np.asarray(out.image), img_oracle, atol=2e-5, rtol=1e-4
+        )
+
+    def test_tile32_grads_match(self):
+        cam = make_camera(width=48, height=40)
+        scene = make_scene(n=60, seed=7)
+        w = jax.random.normal(jax.random.PRNGKey(0), (3, 40, 48))
+
+        def loss(scene, ts):
+            out = tile_render(scene, cam, tile_size=ts, chunk=8)
+            return jnp.sum(out.image * w)
+
+        g16 = jax.grad(lambda s: loss(s, 16))(scene)
+        g32 = jax.grad(lambda s: loss(s, 32))(scene)
+        for k in scene:
+            a, b = np.asarray(g16[k]), np.asarray(g32[k])
+            scale = max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
+                                       err_msg=k)
