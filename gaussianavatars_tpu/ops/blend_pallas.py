@@ -266,7 +266,7 @@ def blend_image_fwd_pallas(
 # ----------------------------------------------------------------------------
 
 def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
-                scratch, gscratch, accscratch, sems, gsem,
+                scratch, gscratch, accscratch, sems, gsem, wsems,
                 logt_all, logt_app, s_prefix, *, tile_size, chunk):
     p = tile_size * tile_size
     t = pl.program_id(0)
@@ -301,26 +301,42 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
     def _():
         read_dma(astart, (astart // chunk) % 2).start()
 
-    def write_grads(offset, accumulate):
-        """Write gscratch at the chunk containing `offset`; read-modify-
-        write when the chunk is shared with the previous tile (the Mosaic
-        grid runs sequentially, so this is race-free)."""
+    def grad_write_dma(offset, slot):
         off = pl.multiple_of((offset // chunk) * chunk, chunk)
+        return pltpu.make_async_copy(
+            gscratch.at[slot], grad_hbm.at[:, pl.ds(off, chunk)],
+            wsems.at[slot],
+        )
+
+    def write_grads(offset, accumulate):
+        """Issue the gradient write for the chunk containing `offset`
+        WITHOUT waiting (the wait happens two chunks later when the slot is
+        reused, and all writes drain before the program ends). Shared
+        boundary chunks read-modify-write — race-free because the Mosaic
+        grid runs sequentially and the previous tile drained its writes."""
+        slot = (offset // chunk) % 2
 
         @pl.when(accumulate)
         def _():
             rd = pltpu.make_async_copy(
-                grad_hbm.at[:, pl.ds(off, chunk)], accscratch, gsem
+                grad_hbm.at[:, pl.ds(
+                    pl.multiple_of((offset // chunk) * chunk, chunk), chunk
+                )], accscratch, gsem,
             )
             rd.start()
             rd.wait()
-            gscratch[...] += accscratch[...]
+            gscratch[slot] += accscratch[...]
 
-        wr = pltpu.make_async_copy(
-            gscratch, grad_hbm.at[:, pl.ds(off, chunk)], gsem
-        )
-        wr.start()
-        wr.wait()
+        grad_write_dma(offset, slot).start()
+
+    def wait_prior_write(offset):
+        """Before filling a gscratch slot, absorb the write issued two
+        chunks earlier on the same slot."""
+        prev = offset - 2 * chunk
+
+        @pl.when(prev >= astart)
+        def _():
+            grad_write_dma(prev, (prev // chunk) % 2).wait()
 
     def cond(offset):
         return (offset < end) & (jnp.max(logt_all[...]) >= LOG_T_EPS)
@@ -375,20 +391,22 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         gc_yy = d_power * (-0.5 * dy * dy)
         d_op = jnp.where(unclamped & mask, d_alpha, 0.0) * expw
 
-        gscratch[ROW_MX, :] = jnp.sum(gm_x, axis=0)
-        gscratch[ROW_MY, :] = jnp.sum(gm_y, axis=0)
-        gscratch[ROW_CXX, :] = jnp.sum(gc_xx, axis=0)
-        gscratch[ROW_CXY, :] = jnp.sum(gc_xy, axis=0)
-        gscratch[ROW_CYY, :] = jnp.sum(gc_yy, axis=0)
+        wait_prior_write(offset)
+        wslot = (offset // chunk) % 2
+        gscratch[wslot, ROW_MX, :] = jnp.sum(gm_x, axis=0)
+        gscratch[wslot, ROW_MY, :] = jnp.sum(gm_y, axis=0)
+        gscratch[wslot, ROW_CXX, :] = jnp.sum(gc_xx, axis=0)
+        gscratch[wslot, ROW_CXY, :] = jnp.sum(gc_xy, axis=0)
+        gscratch[wslot, ROW_CYY, :] = jnp.sum(gc_yy, axis=0)
         dcol = jax.lax.dot_general(
             g_color, weight,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                                     # (3, CH)
-        gscratch[ROW_R:ROW_B + 1, :] = dcol
-        gscratch[ROW_OP, :] = jnp.sum(d_op, axis=0)
-        gscratch[ROW_OP + 1:, :] = jnp.zeros(
+        gscratch[wslot, ROW_R:ROW_B + 1, :] = dcol
+        gscratch[wslot, ROW_OP, :] = jnp.sum(d_op, axis=0)
+        gscratch[wslot, ROW_OP + 1:, :] = jnp.zeros(
             (PACK_ROWS - ROW_OP - 1, chunk), jnp.float32
         )
 
@@ -412,11 +430,23 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         return off < end
 
     def zbody(off):
-        gscratch[...] = jnp.zeros_like(gscratch)
+        wait_prior_write(off)
+        gscratch[(off // chunk) % 2] = jnp.zeros(
+            (PACK_ROWS, chunk), jnp.float32
+        )
         write_grads(off, off < start)
         return off + chunk
 
-    jax.lax.while_loop(zcond, zbody, offset)
+    zend = jax.lax.while_loop(zcond, zbody, offset)
+
+    # drain the (up to two) outstanding gradient writes before the next
+    # tile can read-modify-write the shared boundary chunk
+    for back in (1, 2):
+        prev = zend - back * chunk
+
+        @pl.when((prev >= astart) & (prev < end))
+        def _(prev=prev):
+            grad_write_dma(prev, (prev // chunk) % 2).wait()
 
 
 def blend_image_bwd_pallas(
@@ -465,10 +495,11 @@ def blend_image_bwd_pallas(
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, PACK_ROWS, chunk), jnp.float32),
-                pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
+                pltpu.VMEM((2, PACK_ROWS, chunk), jnp.float32),
                 pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((p, 1), jnp.float32),
                 pltpu.VMEM((p, 1), jnp.float32),
                 pltpu.VMEM((p, 1), jnp.float32),
