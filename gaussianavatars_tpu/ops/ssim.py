@@ -40,6 +40,7 @@ def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
         padding=[(k // 2, k // 2), (k // 2, k // 2)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,  # TPU conv defaults to bf16
     )
     return out[0]
 
