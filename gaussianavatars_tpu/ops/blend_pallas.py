@@ -248,7 +248,10 @@ def blend_image_fwd_pallas(
                 pltpu.VMEM((p, 3), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles, 4, p), jnp.float32,
+            vma=jax.typeof(inst).vma,  # inherit shard_map varying axes
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -505,7 +508,10 @@ def blend_image_bwd_pallas(
                 pltpu.VMEM((p, 1), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((PACK_ROWS, k_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (PACK_ROWS, k_pad), jnp.float32,
+            vma=jax.typeof(inst).vma,
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,

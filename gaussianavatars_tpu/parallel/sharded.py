@@ -135,6 +135,10 @@ def make_sharded_render(
         shard_map, mesh=mesh,
         in_specs=(shard, shard if bound else rep, rep, shard, rep, rep),
         out_specs=P("prim"),
+        # the vma checker can't see through pallas interpret mode
+        # (dynamic_slice vma mismatch); correctness is covered by the
+        # parity tests against the single-device path
+        check_vma=False,
     )
     def fn(params_shard, binding_shard, frames, active_shard, cam, bg):
         camera = _camera_from_tuple(cam, width, height)
@@ -207,6 +211,7 @@ def make_sharded_train_step(
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
     )
     def step(params, flame_tr, flame_fixed, binding, active, cams, gts,
              bgs, timesteps, lrs, mu_g, nu_g, mu_f, nu_f, count,

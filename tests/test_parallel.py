@@ -213,3 +213,32 @@ def test_dryrun_multichip_contract():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_render_pallas_interpret():
+    """shard_map + Pallas kernels (interpret mode on the CPU mesh): the
+    combination a real multi-chip run uses."""
+    n = 64
+    cam = make_camera(width=64, height=64)
+    scene = make_scene(n=n, seed=0)
+    params = to_gauss_params(scene, n)
+
+    means3d, scales, quats, opac, shs = world_space_gaussians(
+        params, None, None
+    )
+    ref = rasterize(
+        means3d, scales, quats, opac, shs, 2, cam, BG,
+        capacity=4096, tile_size=16, chunk=8, backend="jnp",
+    ).image
+
+    mesh = make_mesh(n_data=1, n_prim=2)
+    render = make_sharded_render(
+        mesh, 64, 64, 2, capacity=4096, tile_size=16, chunk=8,
+        backend="pallas", bound=False,
+    )
+    cam_t = (cam.viewmatrix, cam.projmatrix, cam.campos,
+             jnp.asarray(cam.tan_fovx), jnp.asarray(cam.tan_fovy))
+    out = render(params, None, None, jnp.ones(n, bool), cam_t, BG)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
