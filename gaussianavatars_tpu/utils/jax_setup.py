@@ -22,5 +22,14 @@ def setup(cache_dir: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here
+    # so CPU-forced runs (tests, driver dry runs) actually get CPU.
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
 
 setup()
