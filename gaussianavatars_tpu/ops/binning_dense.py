@@ -1,0 +1,255 @@
+"""Dense multi-level tile binning: the fast path.
+
+TPU-native replacement for the CUDA duplicated-key radix-sort binning
+(reference submodule `diff-gaussian-rasterization`, SURVEY.md N1), second
+generation. The first generation (ops/binning.py) expanded variable-length
+tile rects into a slot stream via scatter + cummax + big gathers; on real
+hardware each 1M-scale gather/scatter/divmod op costs milliseconds while
+fused elementwise work is essentially free, so this version is built from
+elementwise math plus exactly one single-array sort.
+
+Design:
+
+  * gaussians are depth-sorted once (N keys); their depth *rank* is the
+    within-tile ordering token from then on
+  * every gaussian is routed to the smallest "level" whose static
+    rect_w x rect_h tile grid covers its tile rect. Level 0 holds all N
+    gaussians; higher levels hold a compacted tail (top_k by rect area)
+    in a static bucket. The last level's grid covers the full tile grid,
+    so coverage is EXACT for any scene — no clamping, matching the
+    reference's unbounded per-gaussian tile ranges
+  * each level lays its gaussians out densely: slot (g, j) covers tile
+    (x0[g] + j % RW, y0[g] + j // RW) where j % RW and j // RW are
+    compile-time constants — no gather, no integer division, no owner
+    reconstruction; the precise r2_max cull is elementwise in the grid
+  * all levels' slots concatenate and sort by the packed key
+    key = tile_id << RANK_BITS | depth_rank. A gaussian meets a tile at
+    most once, so keys are unique — a payload-free single-array sort
+    (cheapest sort shape on TPU) fully orders the stream front-to-back
+  * per-tile [start, end) ranges via searchsorted on the tile field
+
+The live stream is the contiguous prefix (sentinel keys sort to the end);
+`total` reports its length against the static `capacity` the backward
+reduction uses (ops/instance_pack.gather_instances_perm). Per-level bucket
+overflow (more tail gaussians than the static bucket) is reported in
+`level_overflow` so the host can re-bucket — the same grow-and-rejit
+protocol as the capacity probe of the sort-expansion path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from gaussianavatars_tpu.ops.binning import compute_tile_rects, tile_grid
+
+RANK_BITS = 17  # depth-rank field width; N must fit (<= 131072 gaussians)
+
+
+def default_levels(ntx: int, nty: int) -> tuple[tuple[int, int, int | None], ...]:
+    """Level plan covering any rect exactly: (rect_w, rect_h, bucket).
+
+    Level 0 (bucket None) holds every gaussian; the last level's grid
+    covers the full tile grid. Buckets are compile-time; the host grows
+    them on `level_overflow` like the capacity bucket.
+    """
+    return (
+        (4, 4, None),
+        (8, 8, 8192),
+        (ntx, nty, 64),
+    )
+
+
+class DenseBinning(NamedTuple):
+    ranks: jnp.ndarray           # [K] int32 depth rank per sorted slot
+    instance_valid: jnp.ndarray  # [K] bool (False = dead tail)
+    perm: jnp.ndarray            # [N] int32 depth order: perm[rank] = orig id
+    inv_perm: jnp.ndarray        # [N] int32 rank of each original id
+    tile_starts: jnp.ndarray     # [T] int32
+    tile_ends: jnp.ndarray       # [T] int32
+    total: jnp.ndarray           # [] int32 live instance count
+    level_overflow: jnp.ndarray  # [L] int32 per-level bucket shortfall
+                                 # (routed count minus bucket; > 0 drops)
+    level_sizes: tuple           # static (gaussians_per_level, kmax) pairs
+    num_tiles_x: int
+    num_tiles_y: int
+
+    @property
+    def gaussian_ids(self):
+        """Original gaussian id per sorted slot (compat with ops/binning)."""
+        return self.perm[self.ranks]
+
+
+def _level_keys(
+    rank_ids, x0, y0, rw, rh, live, mx, my, r2, rect_w, rect_h,
+    num_tiles, ntx, nty, tile_size, tile_row_start,
+):
+    """Dense (G, RW*RH) slot grid for one level -> flat packed keys.
+
+    All inputs are per-routed-gaussian arrays of length G; slot tile
+    offsets are compile-time constants so everything here fuses into one
+    elementwise kernel.
+    """
+    kmax = rect_w * rect_h
+    jx = jnp.arange(kmax, dtype=jnp.int32) % rect_w
+    jy = jnp.arange(kmax, dtype=jnp.int32) // rect_w
+    tx = x0[:, None] + jx[None, :]
+    ty = y0[:, None] + jy[None, :]
+    slot_live = (
+        live[:, None]
+        & (jx[None, :] < rw[:, None])
+        & (jy[None, :] < rh[:, None])
+        & (tx < ntx)
+        & (ty < nty)
+    )
+    if r2 is not None:
+        ts = jnp.float32(tile_size)
+        bx_lo = tx.astype(jnp.float32) * ts
+        by_lo = (ty + tile_row_start).astype(jnp.float32) * ts
+        mxb = mx[:, None]
+        myb = my[:, None]
+        dx = jnp.maximum(jnp.maximum(bx_lo - mxb, mxb - (bx_lo + ts - 1)), 0.0)
+        dy = jnp.maximum(jnp.maximum(by_lo - myb, myb - (by_lo + ts - 1)), 0.0)
+        slot_live = slot_live & (dx * dx + dy * dy <= r2[:, None])
+    tile_id = jnp.where(slot_live, ty * ntx + tx, num_tiles)
+    keys = (tile_id << RANK_BITS) | rank_ids[:, None]
+    return keys.reshape(-1), jnp.sum(slot_live.astype(jnp.int32))
+
+
+def bin_gaussians_dense(
+    means2d: jnp.ndarray,
+    depths: jnp.ndarray,
+    radii: jnp.ndarray,
+    valid: jnp.ndarray,
+    width: int,
+    height: int,
+    tile_size: int,
+    levels: Sequence[tuple[int, int, int | None]] | None = None,
+    tile_row_start=0,
+    tile_rows: int | None = None,
+    means2d_cull: jnp.ndarray | None = None,
+    r2_max: jnp.ndarray | None = None,
+) -> DenseBinning:
+    """Build the tile-major depth-sorted instance stream (dense layout).
+
+    Args mirror ops/binning.bin_gaussians; `levels` is the static routing
+    plan (see `default_levels`). Coverage is exact when the last level's
+    rect spans the tile grid and no bucket overflows (probed).
+    """
+    n = means2d.shape[0]
+    assert n <= (1 << RANK_BITS), (
+        f"{n} gaussians exceed the {1 << RANK_BITS} rank field; shard the "
+        "primitive axis or widen RANK_BITS"
+    )
+    ntx, nty_full = tile_grid(width, height, tile_size)
+    nty = nty_full if tile_rows is None else tile_rows
+    num_tiles = ntx * nty
+    assert (num_tiles + 1) << RANK_BITS < 2 ** 31, (
+        "tile id field overflows int32; use a larger tile_size or shard "
+        "the tile rows"
+    )
+    if levels is None:
+        levels = default_levels(ntx, nty)
+    assert levels[0][2] is None, "level 0 must be uncompacted (bucket=None)"
+    assert levels[-1][0] >= ntx and levels[-1][1] >= nty, (
+        "last level must cover the full tile grid for exact coverage"
+    )
+
+    # ---- depth order over gaussians (invalid sort to the end) --------------
+    depth_key = jnp.where(valid, depths, jnp.inf).astype(jnp.float32)
+    _, perm = jax.lax.sort(
+        (depth_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+    means_s = means2d[perm]
+    radii_s = radii[perm]
+    valid_s = valid[perm]
+
+    x0, y0, x1, y1 = compute_tile_rects(means_s, radii_s, width, height,
+                                        tile_size)
+    y0 = jnp.clip(y0 - tile_row_start, 0, nty)
+    y1 = jnp.clip(y1 - tile_row_start, 0, nty)
+    rw = jnp.maximum(x1 - x0, 0)
+    rh = jnp.maximum(y1 - y0, 0)
+    live = valid_s & (rw > 0) & (rh > 0)
+
+    if means2d_cull is not None and r2_max is not None:
+        mc = means2d_cull[perm]
+        mx, my = mc[:, 0], mc[:, 1]
+        r2 = r2_max[perm]
+    else:
+        mx = my = r2 = None
+
+    ranks = jnp.arange(n, dtype=jnp.int32)
+
+    # ---- route each gaussian to the smallest level that fits its rect ------
+    fits_prev = jnp.zeros((n,), bool)
+    key_parts = []
+    overflow = []
+    level_sizes = []
+    total = jnp.int32(0)
+    for rect_w, rect_h, bucket in levels:
+        fits = (rw <= rect_w) & (rh <= rect_h)
+        routed = live & fits & ~fits_prev
+        fits_prev = fits_prev | fits
+        if bucket is None:
+            sel = ranks
+            lvl_live = routed
+            g = n
+        else:
+            bucket = min(bucket, n)
+            count = jnp.sum(routed.astype(jnp.int32))
+            overflow.append(jnp.maximum(count - bucket, 0))
+            # compact the routed tail into the static bucket
+            score = jnp.where(routed, (rw * rh).astype(jnp.float32), -1.0)
+            _, sel = jax.lax.top_k(score, bucket)
+            sel = sel.astype(jnp.int32)
+            lvl_live = routed[sel]
+            g = bucket
+        args = [sel, x0[sel], y0[sel], rw[sel], rh[sel], lvl_live]
+        if r2 is not None:
+            args += [mx[sel], my[sel], r2[sel]]
+        else:
+            args += [None, None, None]
+        keys, cnt = _level_keys(
+            *args, rect_w, rect_h, num_tiles, ntx, nty, tile_size,
+            tile_row_start,
+        )
+        key_parts.append(keys)
+        level_sizes.append((g, rect_w * rect_h))
+        total = total + cnt
+
+    all_keys = jnp.concatenate(key_parts)
+
+    # ---- ONE payload-free sort (keys unique: tile << RANK_BITS | rank) -----
+    sorted_key = jax.lax.sort(all_keys)
+    sorted_rank = sorted_key & ((1 << RANK_BITS) - 1)
+    sorted_valid = sorted_key < (num_tiles << RANK_BITS)
+
+    _, inv_perm = jax.lax.sort(
+        (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_starts = jnp.searchsorted(
+        sorted_key, tiles << RANK_BITS, side="left"
+    ).astype(jnp.int32)
+    tile_ends = jnp.searchsorted(
+        sorted_key, (tiles + 1) << RANK_BITS, side="left"
+    ).astype(jnp.int32)
+
+    return DenseBinning(
+        ranks=sorted_rank,
+        instance_valid=sorted_valid,
+        perm=perm,
+        inv_perm=inv_perm,
+        tile_starts=tile_starts,
+        tile_ends=tile_ends,
+        total=total,
+        level_overflow=(jnp.stack(overflow) if overflow
+                        else jnp.zeros((0,), jnp.int32)),
+        level_sizes=tuple(level_sizes),
+        num_tiles_x=ntx,
+        num_tiles_y=nty,
+    )

@@ -14,6 +14,8 @@ Row layout (shared contract with blend_pallas):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +52,71 @@ def gather_instances(pack: jnp.ndarray, ids: jnp.ndarray,
     mask = slot_valid.astype(inst.dtype)[None, :]
     row_sel = (jnp.arange(PACK_ROWS) == ROW_OP)[:, None]
     return jnp.where(row_sel, inst * mask, inst)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_instances_perm(pack_ranked, ranks, slot_valid, capacity):
+    """(N, 16) depth-rank-ordered pack x [K] stream -> (16, K).
+
+    Functionally matches `gather_instances(pack_ranked, ranks, slot_valid)`
+    with a hand-written transpose: the cotangent is reduced by a single
+    scatter-add over the LIVE stream prefix (`capacity` slots; the dense
+    binning sorts live keys to a contiguous prefix and probes `total`
+    against this bound). XLA's native transpose would scatter over the
+    whole padded stream and recompute masks; on this hardware scatter rows
+    are the dominant cost (~16 ns/row regardless of width), so halving the
+    rows halves the backward reduction.
+
+    Args:
+      pack_ranked: (N, 16) projected pack in depth-rank order.
+      ranks: [K] depth rank per sorted stream position.
+      slot_valid: [K] live mask (dead tail slots get zero opacity).
+      capacity: static bound on the live prefix the backward reduces over.
+    """
+    return gather_instances(pack_ranked, ranks, slot_valid)
+
+
+def _gather_perm_fwd(pack_ranked, ranks, slot_valid, capacity):
+    out = gather_instances(pack_ranked, ranks, slot_valid)
+    return out, (ranks, slot_valid, pack_ranked.shape[0])
+
+
+def _gather_perm_bwd(capacity, residuals, g):
+    ranks, slot_valid, n = residuals
+    cap = min(capacity, ranks.shape[0])
+    # the live prefix is all-valid, so the forward's opacity-row masking is
+    # the identity there; grads beyond the live prefix are exact zeros
+    # (the blend backward zero-fills past coverage), making the slice safe
+    gt = g[:, :cap].T                                  # (cap, 16)
+    d_by_rank = jnp.zeros((n, PACK_ROWS), g.dtype).at[ranks[:cap]].add(
+        gt, mode="drop"
+    )
+    return (d_by_rank, None, None)
+
+
+gather_instances_perm.defvjp(_gather_perm_fwd, _gather_perm_bwd)
+
+
+@jax.custom_vjp
+def permute_rows(x, perm, inv_perm):
+    """x[perm] with a gather-based transpose (grads gathered by inv_perm).
+
+    XLA's native transpose of a gather is a scatter-add; on this hardware
+    scatters serialize, so for a *permutation* we hand it the inverse
+    gather instead.
+    """
+    return x[perm]
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _permute_rows_bwd(inv_perm, g):
+    return (g[inv_perm], None, None)
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 def unpack_rows(inst: jnp.ndarray):

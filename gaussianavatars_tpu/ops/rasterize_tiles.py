@@ -41,6 +41,10 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray          # [N] int32 screen radii (0 = culled)
     visibility: jnp.ndarray     # [N] bool
     instance_total: jnp.ndarray  # [] int32 true instance demand (overflow probe)
+    rect_overflow: jnp.ndarray = None  # [] int32 gaussians clamped by the
+                                 # dense binning's static rect (re-bucket
+                                 # rect_w/rect_h when > 0); None on the
+                                 # sort-expansion path
 
 
 def rasterize(
@@ -64,12 +68,21 @@ def rasterize(
     active: jnp.ndarray | None = None,
     tile_row_start=0,
     tile_rows: int | None = None,
+    binning_impl: str = "sort",
+    levels=None,
 ) -> RenderOutput:
     """Differentiable tile-based splat render.
 
     Args mirror the reference rasterizer contract
     (gaussian_renderer/__init__.py:86-94); `capacity`, `tile_size`, `chunk`
     and `backend` are TPU-side static knobs.
+
+    `binning_impl` selects the instance-stream builder: "sort" = the
+    variable-rect expansion (ops/binning.py, any rect size, needs
+    `capacity`), "dense" = multi-level dense layout (ops/binning_dense.py,
+    much faster on hardware, exact coverage; `levels` overrides the
+    routing plan and bucket-overflow shortfalls surface in
+    `rect_overflow`).
     """
     proj = project_gaussians(
         means3d, scales, quats, opacities, shs, sh_degree, camera,
@@ -86,28 +99,66 @@ def rasterize(
             radii=jnp.where(active, proj.radii, 0),
         )
 
-    binning = bin_gaussians(
-        jax.lax.stop_gradient(proj.means2d),
-        jax.lax.stop_gradient(proj.depths),
-        proj.radii,
-        proj.valid,
-        camera.width,
-        camera.height,
-        tile_size,
-        capacity,
-        tile_row_start=tile_row_start,
-        tile_rows=tile_rows,
-        means2d_cull=jax.lax.stop_gradient(proj.means2d),
-        r2_max=jax.lax.stop_gradient(proj.r2_max),
-    )
-    # Differentiable single-gather of packed per-gaussian data: gradients
-    # flow from per-instance grads back to per-gaussian tensors via the
-    # transpose (segment-sum) of this gather. No per-tile padding: the
-    # Pallas kernels floor-align chunk starts and mask stray lanes.
-    pack = pack_projected(
-        proj.means2d, proj.conics, proj.colors, proj.opacities
-    )
-    inst = gather_instances(pack, binning.gaussian_ids, binning.instance_valid)
+    if binning_impl == "dense":
+        from gaussianavatars_tpu.ops.binning_dense import bin_gaussians_dense
+        from gaussianavatars_tpu.ops.instance_pack import (
+            gather_instances_perm,
+            permute_rows,
+        )
+
+        binning = bin_gaussians_dense(
+            jax.lax.stop_gradient(proj.means2d),
+            jax.lax.stop_gradient(proj.depths),
+            proj.radii,
+            proj.valid,
+            camera.width,
+            camera.height,
+            tile_size,
+            levels=levels,
+            tile_row_start=tile_row_start,
+            tile_rows=tile_rows,
+            means2d_cull=jax.lax.stop_gradient(proj.means2d),
+            r2_max=jax.lax.stop_gradient(proj.r2_max),
+        )
+        pack = pack_projected(
+            proj.means2d, proj.conics, proj.colors, proj.opacities
+        )
+        # rank-order the pack so the stream gather (and its scatter-add
+        # transpose) index by depth rank
+        pack_ranked = permute_rows(pack, binning.perm, binning.inv_perm)
+        inst = gather_instances_perm(
+            pack_ranked, binning.ranks, binning.instance_valid, capacity,
+        )
+        rect_overflow = (
+            jnp.max(binning.level_overflow)
+            if binning.level_overflow.shape[0] else jnp.int32(0)
+        )
+    else:
+        binning = bin_gaussians(
+            jax.lax.stop_gradient(proj.means2d),
+            jax.lax.stop_gradient(proj.depths),
+            proj.radii,
+            proj.valid,
+            camera.width,
+            camera.height,
+            tile_size,
+            capacity,
+            tile_row_start=tile_row_start,
+            tile_rows=tile_rows,
+            means2d_cull=jax.lax.stop_gradient(proj.means2d),
+            r2_max=jax.lax.stop_gradient(proj.r2_max),
+        )
+        # Differentiable single-gather of packed per-gaussian data: gradients
+        # flow from per-instance grads back to per-gaussian tensors via the
+        # transpose (segment-sum) of this gather. No per-tile padding: the
+        # Pallas kernels floor-align chunk starts and mask stray lanes.
+        pack = pack_projected(
+            proj.means2d, proj.conics, proj.colors, proj.opacities
+        )
+        inst = gather_instances(
+            pack, binning.gaussian_ids, binning.instance_valid
+        )
+        rect_overflow = None
 
     ranges = jnp.stack(
         [binning.tile_starts, binning.tile_ends], axis=-1
@@ -133,4 +184,5 @@ def rasterize(
         radii=proj.radii,
         visibility=proj.valid,
         instance_total=binning.total,
+        rect_overflow=rect_overflow,
     )

@@ -245,3 +245,53 @@ class TestTile32:
             scale = max(np.abs(a).max(), 1e-3)
             np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
                                        err_msg=k)
+
+
+class TestDenseBinning:
+    """Multi-level dense binning (ops/binning_dense.py) vs the sort path."""
+
+    def test_dense_image_matches_sort(self):
+        cam = make_camera(width=48, height=32, fovx=0.8, dist=3.5)
+        scene = make_scene(n=80, seed=5, sh_degree=1, spread=1.2)
+        o1 = tile_render(scene, cam, sh_degree=1)
+        o2 = tile_render(scene, cam, sh_degree=1, binning_impl="dense")
+        assert int(o2.rect_overflow) == 0
+        np.testing.assert_allclose(o1.image, o2.image, atol=1e-5)
+
+    def test_dense_grads_match_sort(self):
+        cam = make_camera(width=48, height=32, fovx=0.8, dist=3.5)
+        scene = make_scene(n=60, seed=7, sh_degree=1, spread=1.2)
+        w = jnp.asarray(
+            np.random.default_rng(0).normal(size=(3, 32, 48)).astype(np.float32)
+        )
+
+        def loss(impl):
+            def f(params):
+                s = dict(scene, **params)
+                return jnp.sum(tile_render(s, cam, sh_degree=1,
+                                           binning_impl=impl).image * w)
+            return f
+
+        params = {k: scene[k] for k in
+                  ("means3d", "scales", "quats", "opacities", "shs")}
+        g1 = jax.grad(loss("sort"))(params)
+        g2 = jax.grad(loss("dense"))(params)
+        for k in params:
+            np.testing.assert_allclose(g1[k], g2[k], atol=1e-4, rtol=1e-4)
+
+    def test_dense_bucket_overflow_probe(self):
+        from gaussianavatars_tpu.ops.binning_dense import bin_gaussians_dense
+
+        cam = make_camera(width=48, height=32, fovx=0.8, dist=3.5)
+        scene = make_scene(n=60, seed=7, sh_degree=1, spread=1.2)
+        # force everything past level 0 with a tiny bucket
+        out = tile_render(scene, cam, sh_degree=1, binning_impl="dense",
+                          levels=((1, 1, None), (3, 2, 4)))
+        assert int(out.rect_overflow) > 0
+
+    def test_dense_exactness_assertion(self):
+        cam = make_camera(width=48, height=32, fovx=0.8, dist=3.5)
+        scene = make_scene(n=8, seed=0, sh_degree=1)
+        with pytest.raises(AssertionError, match="cover the full tile grid"):
+            tile_render(scene, cam, sh_degree=1, binning_impl="dense",
+                        levels=((1, 1, None), (2, 2, 4)))
