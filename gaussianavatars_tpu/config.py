@@ -93,6 +93,9 @@ class PipelineConfig:
                                    # than 16x16 at equal image output
     chunk: int = 128
     capacity: int = 2 ** 20        # instance-stream bucket (re-grown on demand)
+    data_parallel: int = 1         # camera-batch groups over the 'data' axis
+    render_parallel: int = 1       # gaussian/tile shards over the 'prim' axis
+                                   # (data_parallel*render_parallel devices)
 
     @classmethod
     def add_to_parser(cls, parser):

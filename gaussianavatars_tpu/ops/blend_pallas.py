@@ -102,33 +102,71 @@ def _cumsum_lanes(x, chunk):
     return x
 
 
-def _pix_coords(tile_size, p):
-    """Local pixel coordinates as (P, 1) f32 columns."""
+POWER_FUZZ = 1e-4  # the quadratic form is mathematically <= 0 (PD conic);
+                   # this absorbs f32 rounding of the MXU evaluation so the
+                   # acceptance test never rejects a real peak pixel
+
+
+def _pix_basis(tile_size, p):
+    """Quadratic pixel basis U (P, 8) = [1, px, py, px^2, px*py, py^2, 0, 0]
+    in LOCAL tile coordinates (bounded magnitudes keep the MXU evaluation
+    of the quadratic form inside f32 cancellation limits)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     px = (idx % tile_size).astype(jnp.float32)
     py = (idx // tile_size).astype(jnp.float32)
-    return px, py
-
-
-def _chunk_geometry(data, pix_x, pix_y, lane_ok):
-    """Shared fwd/bwd chunk math. data (16, CH); pix (P, 1); lane_ok (1, CH).
-
-    Returns (alpha, dx, dy, expw, unclamped) all (P, CH).
-    """
-    dx = data[ROW_MX, :][None, :] - pix_x          # (P, CH)
-    dy = data[ROW_MY, :][None, :] - pix_y
-    power = (
-        -0.5 * (data[ROW_CXX, :][None, :] * dx * dx
-                + data[ROW_CYY, :][None, :] * dy * dy)
-        - data[ROW_CXY, :][None, :] * dx * dy
+    one = jnp.ones((p, 1), jnp.float32)
+    zero = jnp.zeros((p, 1), jnp.float32)
+    return jnp.concatenate(
+        [one, px, py, px * px, px * py, py * py, zero, zero], axis=1
     )
+
+
+def _power_coefs(data, tx, ty):
+    """Per-instance quadratic coefficients (8, CH) so that
+    power = U @ coef with U the local-pixel basis.
+
+    Expansion of -0.5(cxx dx^2 + cyy dy^2) - cxy dx dy with
+    dx = mx' - px, dy = my' - py and mx', my' the mean in local tile
+    coordinates. Shifting to local coordinates is what keeps the expanded
+    form numerically equivalent to the direct one (see _pix_basis).
+    """
+    mx = data[ROW_MX, :][None, :] - tx              # (1, CH)
+    my = data[ROW_MY, :][None, :] - ty
+    cxx = data[ROW_CXX, :][None, :]
+    cxy = data[ROW_CXY, :][None, :]
+    cyy = data[ROW_CYY, :][None, :]
+    a0 = -0.5 * (cxx * mx * mx + cyy * my * my) - cxy * mx * my
+    bx = cxx * mx + cxy * my
+    by = cyy * my + cxy * mx
+    dxx = -0.5 * cxx
+    dxy = -cxy
+    dyy = -0.5 * cyy
+    zero = jnp.zeros_like(a0)
+    coef = jnp.concatenate([a0, bx, by, dxx, dxy, dyy, zero, zero], axis=0)
+    return coef, mx, my, cxx, cxy, cyy
+
+
+def _chunk_geometry(data, basis, tx, ty, lane_ok):
+    """Shared fwd/bwd chunk math. data (16, CH); basis (P, 8).
+
+    power is ONE small MXU matmul instead of per-(pixel, instance) VPU
+    arithmetic. Returns (alpha, expw, unclamped) all (P, CH) plus the
+    local-mean/conic row vectors for the backward's moment algebra.
+    """
+    coef, mx, my, cxx, cxy, cyy = _power_coefs(data, tx, ty)
+    power = jax.lax.dot_general(
+        basis, coef,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                               # (P, CH)
     expw = jnp.exp(jnp.minimum(power, 0.0))
     e = data[ROW_OP, :][None, :] * expw
     alpha = jnp.minimum(ALPHA_MAX, e)
-    ok = (power <= 0.0) & (e >= ALPHA_MIN) & lane_ok
+    ok = (power <= POWER_FUZZ) & (e >= ALPHA_MIN) & lane_ok
     alpha = jnp.where(ok, alpha, 0.0)
     unclamped = ok & (e < ALPHA_MAX)
-    return alpha, dx, dy, expw, unclamped
+    return alpha, expw, unclamped, (mx, my, cxx, cxy, cyy)
 
 
 def _lane_mask(offset, start, end, chunk):
@@ -148,9 +186,9 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
     end = ranges_ref[t, 1]
     astart = (start // chunk) * chunk
 
-    pix_x, pix_y = _pix_coords(tile_size, p)
-    pix_x = pix_x + ranges_ref[t, 2].astype(jnp.float32)
-    pix_y = pix_y + ranges_ref[t, 3].astype(jnp.float32)
+    basis = _pix_basis(tile_size, p)
+    tx = ranges_ref[t, 2].astype(jnp.float32)
+    ty = ranges_ref[t, 3].astype(jnp.float32)
 
     logt_all[...] = jnp.zeros_like(logt_all)
     logt_app[...] = jnp.zeros_like(logt_app)
@@ -183,7 +221,7 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
         data = scratch[slot]
 
         lane_ok = _lane_mask(offset, start, end, chunk)
-        alpha, _, _, _, _ = _chunk_geometry(data, pix_x, pix_y, lane_ok)
+        alpha, _, _, _ = _chunk_geometry(data, basis, tx, ty, lane_ok)
         lo = jnp.log1p(-alpha)
         cum = _cumsum_lanes(lo, chunk)
         mask = (logt_all[...] + cum) >= LOG_T_EPS
@@ -277,9 +315,9 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
     end = ranges_ref[t, 1]
     astart = (start // chunk) * chunk
 
-    pix_x, pix_y = _pix_coords(tile_size, p)
-    pix_x = pix_x + ranges_ref[t, 2].astype(jnp.float32)
-    pix_y = pix_y + ranges_ref[t, 3].astype(jnp.float32)
+    basis = _pix_basis(tile_size, p)
+    tx = ranges_ref[t, 2].astype(jnp.float32)
+    ty = ranges_ref[t, 3].astype(jnp.float32)
 
     out_color = outpack_ref[0, 0:3, :]                      # (3, P)
     out_t = outpack_ref[0, 3, :]                            # (P,)
@@ -356,8 +394,8 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         data = scratch[slot]
 
         lane_ok = _lane_mask(offset, start, end, chunk)
-        alpha, dx, dy, expw, unclamped = _chunk_geometry(
-            data, pix_x, pix_y, lane_ok
+        alpha, expw, unclamped, (mx, my, cxx, cxy, cyy) = _chunk_geometry(
+            data, basis, tx, ty, lane_ok
         )
         lo = jnp.log1p(-alpha)
         cum = _cumsum_lanes(lo, chunk)
@@ -383,24 +421,34 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         )
         d_alpha = jnp.where(unclamped, d_alpha, 0.0)
         d_power = d_alpha * alpha
-
-        cxx = data[ROW_CXX, :][None, :]
-        cxy = data[ROW_CXY, :][None, :]
-        cyy = data[ROW_CYY, :][None, :]
-        gm_x = d_power * (-(cxx * dx + cxy * dy))             # (P, CH)
-        gm_y = d_power * (-(cyy * dy + cxy * dx))
-        gc_xx = d_power * (-0.5 * dx * dx)
-        gc_xy = d_power * (-dx * dy)
-        gc_yy = d_power * (-0.5 * dy * dy)
         d_op = jnp.where(unclamped & mask, d_alpha, 0.0) * expw
+
+        # All five mean/conic gradient reductions are linear combinations
+        # of the quadratic pixel moments S = U^T @ d_power — one MXU matmul
+        # replaces five (P, CH) elementwise products plus five reductions:
+        #   sum_p d_power * dx   = mx*S0 - Sx            (dx = mx - px)
+        #   sum_p d_power * dx^2 = mx^2*S0 - 2mx*Sx + Sxx  etc.
+        moms = jax.lax.dot_general(
+            basis, d_power,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                     # (8, CH)
+        s0, sx, sy = moms[0:1], moms[1:2], moms[2:3]
+        sxx, sxy, syy = moms[3:4], moms[4:5], moms[5:6]
+        ex = mx * s0 - sx                                     # sum d_power*dx
+        ey = my * s0 - sy
+        exx = mx * mx * s0 - 2.0 * mx * sx + sxx
+        exy = mx * my * s0 - mx * sy - my * sx + sxy
+        eyy = my * my * s0 - 2.0 * my * sy + syy
 
         wait_prior_write(offset)
         wslot = (offset // chunk) % 2
-        gscratch[wslot, ROW_MX, :] = jnp.sum(gm_x, axis=0)
-        gscratch[wslot, ROW_MY, :] = jnp.sum(gm_y, axis=0)
-        gscratch[wslot, ROW_CXX, :] = jnp.sum(gc_xx, axis=0)
-        gscratch[wslot, ROW_CXY, :] = jnp.sum(gc_xy, axis=0)
-        gscratch[wslot, ROW_CYY, :] = jnp.sum(gc_yy, axis=0)
+        gscratch[wslot, ROW_MX, :] = (-(cxx * ex + cxy * ey))[0]
+        gscratch[wslot, ROW_MY, :] = (-(cyy * ey + cxy * ex))[0]
+        gscratch[wslot, ROW_CXX, :] = (-0.5 * exx)[0]
+        gscratch[wslot, ROW_CXY, :] = (-exy)[0]
+        gscratch[wslot, ROW_CYY, :] = (-0.5 * eyy)[0]
         dcol = jax.lax.dot_general(
             g_color, weight,
             dimension_numbers=(((1,), (0,)), ((), ())),

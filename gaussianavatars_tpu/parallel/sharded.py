@@ -207,7 +207,7 @@ def make_sharded_train_step(
         shard,  # denom
     )
     out_specs = (shard, rep, shard, shard, rep, rep, rep,
-                 shard, shard, shard, rep)
+                 shard, shard, shard, rep, rep)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -225,11 +225,14 @@ def make_sharded_train_step(
         def loss_fn(params_shard, flame_tr, off_shard):
             if bound:
                 flame_full = {**flame_fixed, **flame_tr}
-                verts = model.verts_at(flame_full, timestep)
+                verts, verts_cano = model.verts_at(
+                    flame_full, timestep, return_verts_cano=True
+                )
                 frames = face_frames_from_verts(verts[0], flame_model.j_faces)
                 face_scaling_pg = frames.scaling[binding]
             else:
                 frames = None
+                verts_cano = None
                 face_scaling_pg = None
 
             slab, radii_loc, vis_loc, total_inst = _gathered_render(
@@ -270,6 +273,29 @@ def make_sharded_train_step(
                         jnp.sum(val * vis) / global_cnt * opt_cfg.lambda_scale
                     )
                     total = total + losses["scale"]
+                # FLAME-level regularizers (reference train.py:143-161):
+                # computed on replicated FLAME params, weighted 1/n_prim so
+                # the psum of FLAME grads over 'prim' restores 1x
+                if opt_cfg.lambda_dynamic_offset != 0.0:
+                    losses["dy_off"] = (
+                        model.compute_dynamic_offset_loss(flame_full, timestep)
+                        * opt_cfg.lambda_dynamic_offset / n_prim
+                    )
+                    total = total + losses["dy_off"]
+                if (opt_cfg.lambda_dynamic_offset_std != 0.0
+                        and "dynamic_offset" in flame_full):
+                    std = flame_full["dynamic_offset"].std(axis=0).mean()
+                    losses["dynamic_offset_std"] = (
+                        std * opt_cfg.lambda_dynamic_offset_std / n_prim
+                    )
+                    total = total + losses["dynamic_offset_std"]
+                if opt_cfg.lambda_laplacian != 0.0:
+                    losses["lap"] = (
+                        model.compute_laplacian_loss(
+                            flame_full, timestep, verts_cano)
+                        * opt_cfg.lambda_laplacian / n_prim
+                    )
+                    total = total + losses["lap"]
 
             # average over the data (camera batch) axis
             total = jax.lax.pmean(total, "data")
@@ -311,13 +337,20 @@ def make_sharded_train_step(
 
         # report true (full) loss values, replicated over both axes
         losses = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), losses)
-        for k in ("l1", "ssim"):
-            losses[k] = jax.lax.pmean(losses[k], "prim") * n_prim
-        for k in ("xyz", "scale"):
-            if k in losses:
+        for k in list(losses):
+            if k in ("l1", "ssim"):
+                losses[k] = jax.lax.pmean(losses[k], "prim") * n_prim
+            else:
                 losses[k] = jax.lax.psum(losses[k], "prim")
+        losses["total"] = sum(losses.values())
+
+        # worst-case aligned instance demand across shards (overflow probe)
+        total_inst = jax.lax.pmax(
+            jax.lax.pmax(total_inst, "prim"), "data"
+        )
 
         return (new_params, new_flame, new_mu_g, new_nu_g, new_mu_f,
-                new_nu_f, new_count, max_radii, accum, denom, losses)
+                new_nu_f, new_count, max_radii, accum, denom, losses,
+                total_inst)
 
     return jax.jit(step)

@@ -187,6 +187,48 @@ def make_train_step(model, opt_cfg: OptimizationConfig,
     return step
 
 
+def make_parallel_train_step(mesh, model, opt_cfg: OptimizationConfig,
+                             pipe_cfg: PipelineConfig, width: int,
+                             height: int, sh_degree: int):
+    """StepState-shaped adapter around parallel.sharded.make_sharded_train_step.
+
+    Presents the same (state, ...) -> (state, losses, instance_total)
+    contract as `make_train_step`, with a camera BATCH (leading dim =
+    mesh 'data' axis) instead of a single camera. Gaussian params / Adam
+    moments / densify stats shard over 'prim'; FLAME state replicates.
+    Host-side surgery (densify/prune/reset) keeps working unchanged: the
+    jitted step re-shards fresh host arrays on entry.
+    """
+    from gaussianavatars_tpu.parallel.sharded import make_sharded_train_step
+
+    raw = make_sharded_train_step(
+        mesh, model, opt_cfg, pipe_cfg, width, height, sh_degree,
+    )
+
+    def step(state: StepState, flame_fixed: dict, binding, active,
+             cam_batch: CameraArrays, gt_batch, bg_batch, timestep_batch,
+             lrs):
+        out = raw(
+            state.params, state.flame_tr, flame_fixed, binding, active,
+            cam_batch, gt_batch, bg_batch, timestep_batch, lrs,
+            state.mu["gauss"], state.nu["gauss"],
+            state.mu["flame"], state.nu["flame"], state.count,
+            state.max_radii2d, state.grad_accum, state.denom,
+        )
+        (params, flame_tr, mu_g, nu_g, mu_f, nu_f, count,
+         max_radii, accum, denom, losses, total_inst) = out
+        new_state = StepState(
+            params=params, flame_tr=flame_tr,
+            mu={"gauss": mu_g, "flame": mu_f},
+            nu={"gauss": nu_g, "flame": nu_f},
+            count=count, max_radii2d=max_radii,
+            grad_accum=accum, denom=denom,
+        )
+        return new_state, losses, total_inst
+
+    return step
+
+
 def make_render_fn(model, pipe_cfg: PipelineConfig, width: int, height: int,
                    sh_degree: int):
     """Jitted inference render (used by eval sweeps and offline render)."""
@@ -343,6 +385,16 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     os.makedirs(model_cfg.model_path, exist_ok=True)
     save_config(model_cfg.model_path, model_cfg)
 
+    # device mesh for --data_parallel / --render_parallel (SURVEY.md §2.5)
+    n_data = max(1, pipe_cfg.data_parallel)
+    n_prim = max(1, pipe_cfg.render_parallel)
+    parallel = n_data * n_prim > 1
+    mesh = None
+    if parallel:
+        from gaussianavatars_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=n_data, n_prim=n_prim)
+
     if model_cfg.bind_to_mesh:
         model = FlameGaussianModel(
             model_cfg.sh_degree,
@@ -351,6 +403,12 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         )
     else:
         model = GaussianModel(model_cfg.sh_degree)
+    if parallel:
+        # capacity buckets must divide evenly across the prim shards
+        g = model.capacity_granularity
+        model.capacity_granularity = g * n_prim // __import__("math").gcd(
+            g, n_prim
+        )
 
     scene = Scene(model_cfg, model)
     bound = getattr(model, "binding", None) is not None
@@ -423,26 +481,62 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         if iteration % 1000 == 0:
             model.one_up_sh_degree()
 
-        cam, gt = next(loader)
-        params_cam = cam.to_params(*cam.resolution(model_cfg.resolution))
+        if parallel:
+            # one optimizer step consumes a data-axis batch of cameras
+            views = [next(loader) for _ in range(n_data)]
+            plist = [c.to_params(*c.resolution(model_cfg.resolution))
+                     for c, _ in views]
+            sizes = {(p.width, p.height) for p in plist}
+            assert len(sizes) == 1, (
+                f"data-parallel batches need uniform resolution, got {sizes}"
+            )
+            params_cam = plist[0]
+            cam = views[0][0]
+        else:
+            cam, gt = next(loader)
+            params_cam = cam.to_params(*cam.resolution(model_cfg.resolution))
         key = (params_cam.width, params_cam.height, model.capacity,
                model.active_sh_degree)
         if key not in step_fns:
-            step_fns[key] = make_train_step(
-                model, opt_cfg, pipe_cfg, params_cam.width,
-                params_cam.height, model.active_sh_degree,
-                model.num_timesteps,
-            )
+            if parallel:
+                step_fns[key] = make_parallel_train_step(
+                    mesh, model, opt_cfg, pipe_cfg, params_cam.width,
+                    params_cam.height, model.active_sh_degree,
+                )
+            else:
+                step_fns[key] = make_train_step(
+                    model, opt_cfg, pipe_cfg, params_cam.width,
+                    params_cam.height, model.active_sh_degree,
+                    model.num_timesteps,
+                )
         lrs = lr_pytree(opt_cfg, xyz_lr, state.flame_tr, model.spatial_lr_scale)
-        timestep = jnp.asarray(cam.timestep or 0, jnp.int32)
-        cam_bg = jnp.asarray(cam.bg, jnp.float32)
 
-        state, losses, instance_total = step_fns[key](
-            state, flame_fixed, model.binding_device() if bound else None,
-            model.active_mask(),
-            camera_arrays(params_cam), jnp.asarray(gt), cam_bg,
-            timestep, lrs,
-        )
+        if parallel:
+            cam_batch = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[camera_arrays(p) for p in plist],
+            )
+            gt_batch = jnp.stack([jnp.asarray(g) for _, g in views])
+            bg_batch = jnp.stack(
+                [jnp.asarray(c.bg, jnp.float32) for c, _ in views])
+            ts_batch = jnp.asarray(
+                [c.timestep or 0 for c, _ in views], jnp.int32)
+            state, losses, instance_total = step_fns[key](
+                state, flame_fixed,
+                model.binding_device() if bound else None,
+                model.active_mask(), cam_batch, gt_batch, bg_batch,
+                ts_batch, lrs,
+            )
+        else:
+            timestep = jnp.asarray(cam.timestep or 0, jnp.int32)
+            cam_bg = jnp.asarray(cam.bg, jnp.float32)
+
+            state, losses, instance_total = step_fns[key](
+                state, flame_fixed, model.binding_device() if bound else None,
+                model.active_mask(),
+                camera_arrays(params_cam), jnp.asarray(gt), cam_bg,
+                timestep, lrs,
+            )
 
         # Only touch device values periodically: a float()/int() every
         # iteration would force a host sync per step and serialize the

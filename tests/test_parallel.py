@@ -125,7 +125,7 @@ class TestShardedTrainStep:
             jnp.zeros(cap), jnp.zeros(cap), jnp.zeros(cap),
         )
         (new_params, new_flame, _, _, _, _, new_count,
-         max_radii, accum, denom, losses) = out
+         max_radii, accum, denom, losses, total_inst) = out
 
         # ---- single-device reference: batch-mean loss -> one adam step ----
         from gaussianavatars_tpu.models.flame_gaussians import (
