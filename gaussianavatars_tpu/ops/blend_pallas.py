@@ -85,19 +85,15 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _cumsum_lanes(x, chunk):
-    """Inclusive cumsum along the lane axis (Hillis-Steele log-shift scan).
-
-    Mosaic has no cumsum primitive. log2(CH) masked circular rolls cost
-    ~3*log2(CH) VPU ops/element vs CH MACs/element for the triangular-
-    matmul alternative — at CH=128 that matmul would dominate the whole
-    blend kernel's FLOPs.
-    """
-    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+def _cumsum_sublanes(x, chunk):
+    """Inclusive cumsum along the sublane (instance) axis: Hillis-Steele
+    log-shift scan. Mosaic has no cumsum primitive; log2(CH) masked rolls
+    beat the CH-MAC triangular matmul at CH=128 on the MXU's f32 rate."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     shift = 1
     while shift < chunk:
-        rolled = pltpu.roll(x, shift, 1)
-        x = x + jnp.where(lanes >= shift, rolled, 0.0)
+        rolled = pltpu.roll(x, shift, 0)
+        x = x + jnp.where(rows >= shift, rolled, 0.0)
         shift *= 2
     return x
 
@@ -121,57 +117,57 @@ def _pix_basis(tile_size, p):
     )
 
 
-def _power_coefs(data, tx, ty):
-    """Per-instance quadratic coefficients (8, CH) so that
-    power = U @ coef with U the local-pixel basis.
+def _power_coefs_t(data_t, tx, ty):
+    """Per-instance quadratic coefficients (CH, 8) so that
+    power = coef @ U^T with U the local-pixel basis.
 
     Expansion of -0.5(cxx dx^2 + cyy dy^2) - cxy dx dy with
     dx = mx' - px, dy = my' - py and mx', my' the mean in local tile
-    coordinates. Shifting to local coordinates is what keeps the expanded
-    form numerically equivalent to the direct one (see _pix_basis).
+    coordinates (shifting keeps the expanded form inside f32 cancellation
+    limits). data_t is the chunk transposed to instance-major (CH, 16).
     """
-    mx = data[ROW_MX, :][None, :] - tx              # (1, CH)
-    my = data[ROW_MY, :][None, :] - ty
-    cxx = data[ROW_CXX, :][None, :]
-    cxy = data[ROW_CXY, :][None, :]
-    cyy = data[ROW_CYY, :][None, :]
+    mx = data_t[:, ROW_MX:ROW_MX + 1] - tx          # (CH, 1)
+    my = data_t[:, ROW_MY:ROW_MY + 1] - ty
+    cxx = data_t[:, ROW_CXX:ROW_CXX + 1]
+    cxy = data_t[:, ROW_CXY:ROW_CXY + 1]
+    cyy = data_t[:, ROW_CYY:ROW_CYY + 1]
     a0 = -0.5 * (cxx * mx * mx + cyy * my * my) - cxy * mx * my
     bx = cxx * mx + cxy * my
     by = cyy * my + cxy * mx
-    dxx = -0.5 * cxx
-    dxy = -cxy
-    dyy = -0.5 * cyy
     zero = jnp.zeros_like(a0)
-    coef = jnp.concatenate([a0, bx, by, dxx, dxy, dyy, zero, zero], axis=0)
+    coef = jnp.concatenate(
+        [a0, bx, by, -0.5 * cxx, -cxy, -0.5 * cyy, zero, zero], axis=1
+    )                                               # (CH, 8)
     return coef, mx, my, cxx, cxy, cyy
 
 
-def _chunk_geometry(data, basis, tx, ty, lane_ok):
-    """Shared fwd/bwd chunk math. data (16, CH); basis (P, 8).
-
-    power is ONE small MXU matmul instead of per-(pixel, instance) VPU
-    arithmetic. Returns (alpha, expw, unclamped) all (P, CH) plus the
-    local-mean/conic row vectors for the backward's moment algebra.
+def _chunk_geometry_t(data_t, basis, tx, ty, row_ok):
+    """Shared fwd/bwd chunk math, instance-major: data_t (CH, 16);
+    basis (P, 8); row_ok (CH, 1). Returns (alpha, expw, unclamped) all
+    (CH, P) plus the local-mean/conic column vectors for the backward's
+    moment algebra. power is ONE small MXU matmul instead of
+    per-(pixel, instance) VPU arithmetic; pixels live on LANES so every
+    per-pixel carry is a cheap (1, P) row vector.
     """
-    coef, mx, my, cxx, cxy, cyy = _power_coefs(data, tx, ty)
+    coef, mx, my, cxx, cxy, cyy = _power_coefs_t(data_t, tx, ty)
     power = jax.lax.dot_general(
-        basis, coef,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        coef, basis,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )                                               # (P, CH)
+    )                                               # (CH, P)
     expw = jnp.exp(jnp.minimum(power, 0.0))
-    e = data[ROW_OP, :][None, :] * expw
+    e = data_t[:, ROW_OP:ROW_OP + 1] * expw
     alpha = jnp.minimum(ALPHA_MAX, e)
-    ok = (power <= POWER_FUZZ) & (e >= ALPHA_MIN) & lane_ok
+    ok = (power <= POWER_FUZZ) & (e >= ALPHA_MIN) & row_ok
     alpha = jnp.where(ok, alpha, 0.0)
     unclamped = ok & (e < ALPHA_MAX)
     return alpha, expw, unclamped, (mx, my, cxx, cxy, cyy)
 
 
-def _lane_mask(offset, start, end, chunk):
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + offset
-    return (lanes >= start) & (lanes < end)
+def _row_mask(offset, start, end, chunk):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + offset
+    return (rows >= start) & (rows < end)
 
 
 # ----------------------------------------------------------------------------
@@ -179,82 +175,95 @@ def _lane_mask(offset, start, end, chunk):
 # ----------------------------------------------------------------------------
 
 def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
-                logt_all, logt_app, color_acc, *, tile_size, chunk):
+                logt_all, logt_app, color_acc, basis_scr, *,
+                tile_size, chunk, tpb):
     p = tile_size * tile_size
-    t = pl.program_id(0)
-    start = ranges_ref[t, 0]
-    end = ranges_ref[t, 1]
-    astart = (start // chunk) * chunk
 
-    basis = _pix_basis(tile_size, p)
-    tx = ranges_ref[t, 2].astype(jnp.float32)
-    ty = ranges_ref[t, 3].astype(jnp.float32)
-
-    logt_all[...] = jnp.zeros_like(logt_all)
-    logt_app[...] = jnp.zeros_like(logt_app)
-    color_acc[...] = jnp.zeros_like(color_acc)
-
-    def chunk_dma(offset, slot):
-        offset = pl.multiple_of((offset // chunk) * chunk, chunk)
-        return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(offset, chunk)], scratch.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(astart < end)
+    # the quadratic pixel basis is tile-independent (local coords); build
+    # it once and reuse across the sequential grid (scratch persists)
+    @pl.when(pl.program_id(0) == 0)
     def _():
-        chunk_dma(astart, (astart // chunk) % 2).start()
+        basis_scr[...] = _pix_basis(tile_size, p)
 
-    def cond(offset):
-        return (offset < end) & (jnp.max(logt_all[...]) >= LOG_T_EPS)
+    basis = basis_scr[...]
 
-    def body(offset):
-        slot = (offset // chunk) % 2
-        nxt = offset + chunk
+    def one_tile(lt):
+        """Blend tile pl.program_id(0)*tpb + lt into out_ref[lt]."""
+        t = pl.program_id(0) * tpb + lt
+        start = ranges_ref[t, 0]
+        end = ranges_ref[t, 1]
+        astart = (start // chunk) * chunk
+        tx = ranges_ref[t, 2].astype(jnp.float32)
+        ty = ranges_ref[t, 3].astype(jnp.float32)
 
-        # prefetch the next chunk while this one computes
-        @pl.when(nxt < end)
+        logt_all[...] = jnp.zeros_like(logt_all)
+        logt_app[...] = jnp.zeros_like(logt_app)
+        color_acc[...] = jnp.zeros_like(color_acc)
+
+        def chunk_dma(offset, slot):
+            offset = pl.multiple_of((offset // chunk) * chunk, chunk)
+            return pltpu.make_async_copy(
+                inst_hbm.at[:, pl.ds(offset, chunk)], scratch.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(astart < end)
         def _():
-            chunk_dma(nxt, 1 - slot).start()
+            chunk_dma(astart, (astart // chunk) % 2).start()
 
-        chunk_dma(offset, slot).wait()
-        data = scratch[slot]
+        def cond(offset):
+            return (offset < end) & (jnp.max(logt_all[...]) >= LOG_T_EPS)
 
-        lane_ok = _lane_mask(offset, start, end, chunk)
-        alpha, _, _, _ = _chunk_geometry(data, basis, tx, ty, lane_ok)
-        lo = jnp.log1p(-alpha)
-        cum = _cumsum_lanes(lo, chunk)
-        mask = (logt_all[...] + cum) >= LOG_T_EPS
-        weight = jnp.where(
-            mask, alpha * jnp.exp(logt_app[...] + (cum - lo)), 0.0
-        )
+        def body(offset):
+            slot = (offset // chunk) % 2
+            nxt = offset + chunk
 
-        colors = data[ROW_R:ROW_B + 1, :]                   # (3, CH)
-        contrib = jax.lax.dot_general(
-            colors, weight,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                    # (3, P)
-        color_acc[...] += contrib.T                          # (P, 3)
-        logt_all[...] += cum[:, -1:]
-        logt_app[...] += jnp.sum(lo * mask, axis=1, keepdims=True)
-        return offset + chunk
+            # prefetch the next chunk while this one computes
+            @pl.when(nxt < end)
+            def _():
+                chunk_dma(nxt, 1 - slot).start()
 
-    final = jax.lax.while_loop(cond, body, astart)
+            chunk_dma(offset, slot).wait()
+            data_t = scratch[slot].T                        # (CH, 16)
 
-    # an early-out may leave one prefetched DMA in flight; absorb it
-    @pl.when(final < end)
-    def _():
-        chunk_dma(final, (final // chunk) % 2).wait()
+            row_ok = _row_mask(offset, start, end, chunk)
+            alpha, _, _, _ = _chunk_geometry_t(data_t, basis, tx, ty, row_ok)
+            lo = jnp.log1p(-alpha)                          # (CH, P)
+            cum = _cumsum_sublanes(lo, chunk)
+            mask = (logt_all[...] + cum) >= LOG_T_EPS
+            weight = jnp.where(
+                mask, alpha * jnp.exp(logt_app[...] + (cum - lo)), 0.0
+            )
 
-    out_ref[0, 0:3, :] = color_acc[...].T
-    out_ref[0, 3, :] = jnp.exp(logt_app[...])[:, 0]
+            colors_t = data_t[:, ROW_R:ROW_B + 1]           # (CH, 3)
+            contrib = jax.lax.dot_general(
+                colors_t, weight,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                                # (3, P)
+            color_acc[...] += contrib
+            logt_all[...] += cum[chunk - 1:chunk, :]
+            logt_app[...] += jnp.sum(lo * mask, axis=0, keepdims=True)
+            return offset + chunk
+
+        final = jax.lax.while_loop(cond, body, astart)
+
+        # an early-out may leave one prefetched DMA in flight; absorb it
+        @pl.when(final < end)
+        def _():
+            chunk_dma(final, (final // chunk) % 2).wait()
+
+        out_ref[lt, 0:3, :] = color_acc[...]
+        out_ref[lt, 3:4, :] = jnp.exp(logt_app[...])
+
+    for lt in range(tpb):
+        one_tile(lt)
 
 
 def blend_image_fwd_pallas(
     inst, ranges,
-    width, height, tile_size, chunk, py_offset=0,
+    width, height, tile_size, chunk, py_offset=0, tiles_per_step=4,
 ):
     """Forward blend on TPU. Same contract as the jnp backend in
     ops/tile_blend.py (returns ([3,H,W] color-no-bg, [H,W] T))."""
@@ -263,31 +272,36 @@ def blend_image_fwd_pallas(
     p = tile_size * tile_size
     k = inst.shape[1]
     k_pad = _round_up(max(k, chunk), chunk)
+    tpb = tiles_per_step
+    t_pad = _round_up(num_tiles, tpb)
 
     inst = _pad_pack(inst, k_pad)
     ranges_i = _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad,
                                py_offset)
+    ranges_i = jnp.pad(ranges_i, ((0, t_pad - num_tiles), (0, 0)))
 
-    kernel = functools.partial(_fwd_kernel, tile_size=tile_size, chunk=chunk)
+    kernel = functools.partial(_fwd_kernel, tile_size=tile_size, chunk=chunk,
+                               tpb=tpb)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(num_tiles,),
+            grid=(t_pad // tpb,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (tpb, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, PACK_ROWS, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((p, 1), jnp.float32),
-                pltpu.VMEM((p, 1), jnp.float32),
-                pltpu.VMEM((p, 3), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((3, p), jnp.float32),
+                pltpu.VMEM((p, 8), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (num_tiles, 4, p), jnp.float32,
+            (t_pad, 4, p), jnp.float32,
             vma=jax.typeof(inst).vma,  # inherit shard_map varying axes
         ),
         compiler_params=pltpu.CompilerParams(
@@ -296,7 +310,7 @@ def blend_image_fwd_pallas(
         interpret=_interpret(),
     )(ranges_i, inst)
 
-    img = out.reshape(nty, ntx, 4, tile_size, tile_size)
+    img = out[:num_tiles].reshape(nty, ntx, 4, tile_size, tile_size)
     img = img.transpose(2, 0, 3, 1, 4).reshape(4, nty * tile_size, ntx * tile_size)
     img = img[:, :height, :width]
     return img[0:3], img[3]
@@ -308,24 +322,42 @@ def blend_image_fwd_pallas(
 
 def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
                 scratch, gscratch, accscratch, sems, gsem, wsems,
-                logt_all, logt_app, s_prefix, *, tile_size, chunk):
+                logt_all, logt_app, s_prefix, basis_scr, *,
+                tile_size, chunk, tpb):
     p = tile_size * tile_size
-    t = pl.program_id(0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        basis_scr[...] = _pix_basis(tile_size, p)
+
+    basis = basis_scr[...]
+
+    for lt in range(tpb):
+        _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref,
+                  grad_hbm, scratch, gscratch, accscratch, sems, gsem,
+                  wsems, logt_all, logt_app, s_prefix, basis,
+                  tile_size=tile_size, chunk=chunk, tpb=tpb)
+
+
+def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
+              scratch, gscratch, accscratch, sems, gsem, wsems,
+              logt_all, logt_app, s_prefix, basis, *, tile_size, chunk, tpb):
+    p = tile_size * tile_size
+    t = pl.program_id(0) * tpb + lt
     start = ranges_ref[t, 0]
     end = ranges_ref[t, 1]
     astart = (start // chunk) * chunk
 
-    basis = _pix_basis(tile_size, p)
     tx = ranges_ref[t, 2].astype(jnp.float32)
     ty = ranges_ref[t, 3].astype(jnp.float32)
 
-    out_color = outpack_ref[0, 0:3, :]                      # (3, P)
-    out_t = outpack_ref[0, 3, :]                            # (P,)
-    g_color = gpack_ref[0, 0:3, :]                          # (3, P)
-    g_t = gpack_ref[0, 3, :]                                # (P,)
+    out_color = outpack_ref[lt, 0:3, :]                     # (3, P)
+    out_t = outpack_ref[lt, 3:4, :]                         # (1, P)
+    g_color = gpack_ref[lt, 0:3, :]                         # (3, P)
+    g_t = gpack_ref[lt, 3:4, :]                             # (1, P)
 
-    s_total = jnp.sum(g_color * out_color, axis=0)[:, None]  # (P, 1)
-    gt_term = (g_t * out_t)[:, None]                         # (P, 1)
+    s_total = jnp.sum(g_color * out_color, axis=0, keepdims=True)  # (1, P)
+    gt_term = g_t * out_t                                          # (1, P)
 
     logt_all[...] = jnp.zeros_like(logt_all)
     logt_app[...] = jnp.zeros_like(logt_app)
@@ -391,27 +423,27 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             read_dma(nxt, 1 - slot).start()
 
         read_dma(offset, slot).wait()
-        data = scratch[slot]
+        data_t = scratch[slot].T                             # (CH, 16)
 
-        lane_ok = _lane_mask(offset, start, end, chunk)
-        alpha, expw, unclamped, (mx, my, cxx, cxy, cyy) = _chunk_geometry(
-            data, basis, tx, ty, lane_ok
+        row_ok = _row_mask(offset, start, end, chunk)
+        alpha, expw, unclamped, (mx, my, cxx, cxy, cyy) = _chunk_geometry_t(
+            data_t, basis, tx, ty, row_ok
         )
-        lo = jnp.log1p(-alpha)
-        cum = _cumsum_lanes(lo, chunk)
+        lo = jnp.log1p(-alpha)                               # (CH, P)
+        cum = _cumsum_sublanes(lo, chunk)
         mask = (logt_all[...] + cum) >= LOG_T_EPS
-        t_before = jnp.exp(logt_app[...] + (cum - lo))       # (P, CH)
+        t_before = jnp.exp(logt_app[...] + (cum - lo))       # (CH, P)
         weight = jnp.where(mask, alpha * t_before, 0.0)
 
-        colors = data[ROW_R:ROW_B + 1, :]                    # (3, CH)
+        colors_t = data_t[:, ROW_R:ROW_B + 1]                # (CH, 3)
         cg = jax.lax.dot_general(
-            g_color, colors,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            colors_t, g_color,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )                                                     # (P, CH)
+        )                                                     # (CH, P)
         dw = cg * weight
-        s_incl = s_prefix[...] + _cumsum_lanes(dw, chunk)     # (P, CH)
+        s_incl = s_prefix[...] + _cumsum_sublanes(dw, chunk)  # (CH, P)
 
         inv_om = 1.0 / (1.0 - alpha)
         d_alpha = jnp.where(
@@ -424,48 +456,47 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         d_op = jnp.where(unclamped & mask, d_alpha, 0.0) * expw
 
         # All five mean/conic gradient reductions are linear combinations
-        # of the quadratic pixel moments S = U^T @ d_power — one MXU matmul
-        # replaces five (P, CH) elementwise products plus five reductions:
+        # of the quadratic pixel moments S = d_power @ U — one MXU matmul
+        # replaces five (CH, P) elementwise products plus five reductions:
         #   sum_p d_power * dx   = mx*S0 - Sx            (dx = mx - px)
         #   sum_p d_power * dx^2 = mx^2*S0 - 2mx*Sx + Sxx  etc.
         moms = jax.lax.dot_general(
-            basis, d_power,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            d_power, basis,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )                                                     # (8, CH)
-        s0, sx, sy = moms[0:1], moms[1:2], moms[2:3]
-        sxx, sxy, syy = moms[3:4], moms[4:5], moms[5:6]
+        )                                                     # (CH, 8)
+        s0, sx, sy = moms[:, 0:1], moms[:, 1:2], moms[:, 2:3]
+        sxx, sxy, syy = moms[:, 3:4], moms[:, 4:5], moms[:, 5:6]
         ex = mx * s0 - sx                                     # sum d_power*dx
         ey = my * s0 - sy
         exx = mx * mx * s0 - 2.0 * mx * sx + sxx
         exy = mx * my * s0 - mx * sy - my * sx + sxy
         eyy = my * my * s0 - 2.0 * my * sy + syy
 
-        wait_prior_write(offset)
-        wslot = (offset // chunk) % 2
-        gscratch[wslot, ROW_MX, :] = (-(cxx * ex + cxy * ey))[0]
-        gscratch[wslot, ROW_MY, :] = (-(cyy * ey + cxy * ex))[0]
-        gscratch[wslot, ROW_CXX, :] = (-0.5 * exx)[0]
-        gscratch[wslot, ROW_CXY, :] = (-exy)[0]
-        gscratch[wslot, ROW_CYY, :] = (-0.5 * eyy)[0]
         dcol = jax.lax.dot_general(
-            g_color, weight,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            weight, g_color,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )                                                     # (3, CH)
-        gscratch[wslot, ROW_R:ROW_B + 1, :] = dcol
-        gscratch[wslot, ROW_OP, :] = jnp.sum(d_op, axis=0)
-        gscratch[wslot, ROW_OP + 1:, :] = jnp.zeros(
-            (PACK_ROWS - ROW_OP - 1, chunk), jnp.float32
-        )
+        )                                                     # (CH, 3)
+        dop_col = jnp.sum(d_op, axis=1, keepdims=True)        # (CH, 1)
+        grads_t = jnp.concatenate(
+            [-(cxx * ex + cxy * ey), -(cyy * ey + cxy * ex),
+             -0.5 * exx, -exy, -0.5 * eyy,
+             dcol, dop_col,
+             jnp.zeros((chunk, PACK_ROWS - ROW_OP - 1), jnp.float32)],
+            axis=1,
+        )                                                     # (CH, 16)
+        wait_prior_write(offset)
+        wslot = (offset // chunk) % 2
+        gscratch[wslot] = grads_t.T                           # (16, CH)
 
         write_grads(offset, offset < start)
 
-        logt_all[...] += cum[:, -1:]
-        logt_app[...] += jnp.sum(lo * mask, axis=1, keepdims=True)
-        s_prefix[...] = s_incl[:, -1:]
+        logt_all[...] += cum[chunk - 1:chunk, :]
+        logt_app[...] += jnp.sum(lo * mask, axis=0, keepdims=True)
+        s_prefix[...] = s_incl[chunk - 1:chunk, :]
         return offset + chunk
 
     offset = jax.lax.while_loop(cond, body, astart)
@@ -503,7 +534,7 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
 def blend_image_bwd_pallas(
     inst, ranges,
     out_color_img, out_t_img, g_color_img, g_t_img,
-    width, height, tile_size, chunk, py_offset=0,
+    width, height, tile_size, chunk, py_offset=0, tiles_per_step=4,
 ):
     """Backward blend on TPU: returns the (16, K) instance gradient pack."""
     ntx, nty = -(-width // tile_size), -(-height // tile_size)
@@ -525,22 +556,30 @@ def blend_image_bwd_pallas(
     outpack = to_pack(out_color_img, out_t_img)
     gpack = to_pack(g_color_img, g_t_img)
 
+    tpb = tiles_per_step
+    t_pad = _round_up(num_tiles, tpb)
     ranges_i = _augment_ranges(ranges, ntx, num_tiles, tile_size, k_pad,
                                py_offset)
+    ranges_i = jnp.pad(ranges_i, ((0, t_pad - num_tiles), (0, 0)))
+    outpack = jnp.pad(outpack, ((0, t_pad - num_tiles), (0, 0), (0, 0)))
+    gpack = jnp.pad(gpack, ((0, t_pad - num_tiles), (0, 0), (0, 0)))
 
-    kernel = functools.partial(_bwd_kernel, tile_size=tile_size, chunk=chunk)
+    kernel = functools.partial(_bwd_kernel, tile_size=tile_size, chunk=chunk,
+                               tpb=tpb)
     grad_pack = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(num_tiles,),
+            grid=(t_pad // tpb,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
-                    (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                    (tpb, 4, p), lambda i, *_: (i, 0, 0),
+                    memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (1, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                    (tpb, 4, p), lambda i, *_: (i, 0, 0),
+                    memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -551,9 +590,10 @@ def blend_image_bwd_pallas(
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((p, 1), jnp.float32),
-                pltpu.VMEM((p, 1), jnp.float32),
-                pltpu.VMEM((p, 1), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((p, 8), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
@@ -569,6 +609,7 @@ def blend_image_bwd_pallas(
 
     # Slots past the covered stream were never written by any tile; zero
     # them before returning (coverage is contiguous from 0 to the last end).
-    covered = jnp.arange(k_pad, dtype=jnp.int32)[None, :] < ranges_i[-1, 1]
+    covered = (jnp.arange(k_pad, dtype=jnp.int32)[None, :]
+               < ranges_i[num_tiles - 1, 1])
     grad_pack = jnp.where(covered, grad_pack, 0.0)
     return grad_pack[:, :k]
