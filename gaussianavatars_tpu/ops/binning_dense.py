@@ -53,13 +53,23 @@ def default_levels(ntx: int, nty: int) -> tuple[tuple[int, int, int | None], ...
 
     Level 0 (bucket None) holds every gaussian; the last level's grid
     covers the full tile grid. Buckets are compile-time; the host grows
-    them on `level_overflow` like the capacity bucket.
+    them on `level_overflow` like the capacity bucket. Rects clamp to the
+    grid, and levels made redundant by a small grid are dropped.
     """
-    return (
-        (4, 4, None),
-        (8, 8, 8192),
+    plan = [
+        (min(4, ntx), min(4, nty), None),
+        (min(8, ntx), min(8, nty), 8192),
         (ntx, nty, 64),
-    )
+    ]
+    out = [plan[0]]
+    for w, h, bucket in plan[1:]:
+        if (w, h) == (out[-1][0], out[-1][1]):
+            continue
+        out.append((w, h, bucket))
+    if len(out) == 1:
+        # level 0 already spans the grid; exactness needs no tail levels
+        return ((ntx, nty, None),)
+    return tuple(out)
 
 
 class DenseBinning(NamedTuple):
@@ -184,28 +194,46 @@ def bin_gaussians_dense(
     ranks = jnp.arange(n, dtype=jnp.int32)
 
     # ---- route each gaussian to the smallest level that fits its rect ------
-    fits_prev = jnp.zeros((n,), bool)
+    # levels must be nested so `need` (number of levels that don't fit) is
+    # the smallest fitting level; ONE rank-packed sort then yields every
+    # bucket level's members as a contiguous slice (cheaper than per-level
+    # top_k compaction)
+    num_levels = len(levels)
+    for (w0, h0), (w1, h1) in zip(
+        [(w, h) for w, h, _ in levels], [(w, h) for w, h, _ in levels][1:]
+    ):
+        assert w1 >= w0 and h1 >= h0, "levels must be nested (non-decreasing)"
+    need = jnp.zeros((n,), jnp.int32)
+    for rect_w, rect_h, _ in levels[:-1]:
+        need = need + ((rw > rect_w) | (rh > rect_h)).astype(jnp.int32)
+    need = jnp.where(live, need, num_levels)
+    route_key = (need << RANK_BITS) | ranks
+    sorted_route = jax.lax.sort(route_key)
+    level_offs = jnp.searchsorted(
+        sorted_route,
+        (jnp.arange(num_levels + 1, dtype=jnp.int32) << RANK_BITS),
+        side="left",
+    ).astype(jnp.int32)
     key_parts = []
     overflow = []
     level_sizes = []
     total = jnp.int32(0)
-    for rect_w, rect_h, bucket in levels:
-        fits = (rw <= rect_w) & (rh <= rect_h)
-        routed = live & fits & ~fits_prev
-        fits_prev = fits_prev | fits
+    for li, (rect_w, rect_h, bucket) in enumerate(levels):
         if bucket is None:
             sel = ranks
-            lvl_live = routed
+            lvl_live = live & (need == li)
             g = n
         else:
             bucket = min(bucket, n)
-            count = jnp.sum(routed.astype(jnp.int32))
+            count = level_offs[li + 1] - level_offs[li]
             overflow.append(jnp.maximum(count - bucket, 0))
-            # compact the routed tail into the static bucket
-            score = jnp.where(routed, (rw * rh).astype(jnp.float32), -1.0)
-            _, sel = jax.lax.top_k(score, bucket)
-            sel = sel.astype(jnp.int32)
-            lvl_live = routed[sel]
+            # dynamic_slice clamps the start near the array end, so derive
+            # membership from the sliced keys' need field, not positions
+            sel_keys = jax.lax.dynamic_slice(
+                sorted_route, (level_offs[li],), (bucket,)
+            )
+            sel = sel_keys & ((1 << RANK_BITS) - 1)
+            lvl_live = (sel_keys >> RANK_BITS) == li
             g = bucket
         args = [sel, x0[sel], y0[sel], rw[sel], rh[sel], lvl_live]
         if r2 is not None:

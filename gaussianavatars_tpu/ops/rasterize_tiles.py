@@ -124,10 +124,15 @@ def rasterize(
             proj.means2d, proj.conics, proj.colors, proj.opacities
         )
         # rank-order the pack so the stream gather (and its scatter-add
-        # transpose) index by depth rank
+        # transpose) index by depth rank. Only the live stream prefix is
+        # gathered: sentinel keys sort to the tail, so slots past
+        # `capacity` are never blended (total <= capacity is probed) and
+        # gather cost is rows-bound on this hardware.
         pack_ranked = permute_rows(pack, binning.perm, binning.inv_perm)
+        live_cap = min(capacity, binning.ranks.shape[0])
         inst = gather_instances_perm(
-            pack_ranked, binning.ranks, binning.instance_valid, capacity,
+            pack_ranked, binning.ranks[:live_cap],
+            binning.instance_valid[:live_cap], capacity,
         )
         rect_overflow = (
             jnp.max(binning.level_overflow)

@@ -37,10 +37,8 @@ def make_fns(impl, tile, chunk, levels=None, cap=2 ** 20):
 
 
 configs = [
-    ("dense t32 c256", "dense", 32, 256, None),
-    ("dense t32 c512", "dense", 32, 512, None),
-    ("dense t16 c256", "dense", 16, 256,
-     ((8, 8, None), (16, 16, 4096), (51, 35, 64))),
+    ("sort  t32 c128", "sort", 32, 128, None),
+    ("dense t32 c128 default", "dense", 32, 128, None),
 ]
 
 for name, impl, tile, chunk, levels in configs:
