@@ -92,7 +92,11 @@ class PipelineConfig:
     tile_size: int = 32            # 32x32 pixel tiles: ~3x fewer instances
                                    # than 16x16 at equal image output
     chunk: int = 128
-    capacity: int = 2 ** 20        # instance-stream bucket (re-grown on demand)
+    capacity: int = 2 ** 20        # live-instance bucket (re-grown on demand)
+    binning: str = "dense"         # 'dense' (multi-level, exact, fast) or
+                                   # 'sort' (variable-rect expansion)
+    level_scale: int = 1           # dense tail-bucket multiplier (grown by
+                                   # the loop on a level_overflow probe)
     data_parallel: int = 1         # camera-batch groups over the 'data' axis
     render_parallel: int = 1       # gaussian/tile shards over the 'prim' axis
                                    # (data_parallel*render_parallel devices)

@@ -43,7 +43,13 @@ def load_camera_image(cam: Camera, resolution_arg: int = -1,
 
 
 class CameraLoader:
-    """Iterates (camera, gt_image) pairs forever with background prefetch."""
+    """Iterates (camera, gt_image) pairs forever with background prefetch.
+
+    Decoding is parallel but DELIVERY is strictly the shuffled epoch order:
+    each draw is tagged with a sequence number and the consumer reorders,
+    so epoch boundaries are deterministic (every camera exactly once per
+    epoch, reproducible across runs) regardless of thread scheduling.
+    """
 
     def __init__(self, cameras: list[Camera], resolution_arg: int = -1,
                  shuffle: bool = True, prefetch: int = 4,
@@ -55,19 +61,22 @@ class CameraLoader:
         self.shuffle = shuffle
         self.loop = loop
         self.rng = random.Random(seed)
-        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._queue: queue.Queue = queue.Queue(maxsize=max(prefetch,
+                                                           num_threads))
         self._stop = threading.Event()
         self._threads = []
         self._order_lock = threading.Lock()
         self._order: list[int] = []
         self._epoch_pos = 0
         self._served = 0
+        self._next_seq = 0
+        self._reorder: dict = {}
         for _ in range(num_threads):
             t = threading.Thread(target=self._worker, daemon=True)
             t.start()
             self._threads.append(t)
 
-    def _next_index(self) -> Optional[int]:
+    def _next_index(self) -> Optional[tuple[int, int]]:
         with self._order_lock:
             if self._epoch_pos >= len(self._order):
                 if not self.loop and self._served >= len(self.cameras):
@@ -77,21 +86,23 @@ class CameraLoader:
                     self.rng.shuffle(self._order)
                 self._epoch_pos = 0
             idx = self._order[self._epoch_pos]
+            seq = self._served
             self._epoch_pos += 1
             self._served += 1
-            return idx
+            return seq, idx
 
     def _worker(self):
         while not self._stop.is_set():
-            idx = self._next_index()
-            if idx is None:
+            drawn = self._next_index()
+            if drawn is None:
                 return
+            seq, idx = drawn
             cam = self.cameras[idx]
             try:
                 img = load_camera_image(cam, self.resolution_arg)
-                item = (cam, img)
+                item = (seq, cam, img)
             except Exception as exc:  # surface loader errors to the consumer
-                item = (cam, exc)
+                item = (seq, cam, exc)
             while not self._stop.is_set():
                 try:
                     self._queue.put(item, timeout=0.5)
@@ -103,8 +114,12 @@ class CameraLoader:
         return self
 
     def __next__(self):
-        item = self._queue.get()
-        cam, img = item
+        # release items strictly in draw order
+        while self._next_seq not in self._reorder:
+            seq, cam, img = self._queue.get()
+            self._reorder[seq] = (cam, img)
+        cam, img = self._reorder.pop(self._next_seq)
+        self._next_seq += 1
         if isinstance(img, Exception):
             raise img
         return cam, img

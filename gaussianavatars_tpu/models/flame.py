@@ -137,8 +137,10 @@ class FlameMask:
     """
 
     def __init__(self, faces, faces_t=None, num_verts=C.NUM_FLAME_VERTS,
-                 flame_parts_path: Optional[str] = None):
+                 flame_parts_path: Optional[str] = None,
+                 face_clusters=()):
         self.num_verts = num_verts
+        self.face_clusters = tuple(face_clusters)
         self.v: dict[str, np.ndarray] = {}
 
         if flame_parts_path and os.path.exists(flame_parts_path):
@@ -146,24 +148,51 @@ class FlameMask:
             for k, mask in parts.items():
                 self.v[k] = np.asarray(mask, np.int64)
 
-        self.v["lip_outside_ring_upper"] = C.LIP_OUTSIDE_RING_UPPER.copy()
-        self.v["lip_outside_ring_lower"] = C.LIP_OUTSIDE_RING_LOWER.copy()
-        self.v["lip_inside_ring_upper"] = C.LIP_INSIDE_RING_UPPER.copy()
-        self.v["lip_inside_ring_lower"] = C.LIP_INSIDE_RING_LOWER.copy()
+        # the full hand-curated table set (reference flame.py:643-814):
+        # anchor points, neck rings, lip rings/areas, eyelids, irises,
+        # bottomline, lips_tight, left/right halves
+        from gaussianavatars_tpu.models import flame_mask_tables as T
+
+        for name, vals in T.ALL_TABLES.items():
+            if name in ("left_half_teeth", "right_half_teeth"):
+                continue  # appended by the teeth augmentation
+            self.v[name] = vals.copy()
         self.v["lip_inside_ring"] = np.concatenate(
             [C.LIP_INSIDE_RING_UPPER, C.LIP_INSIDE_RING_LOWER,
              C.LIP_INSIDE_RING_EXTRA]
         )
 
-        # derived unions where sources exist
+        # derived unions + set-algebra regions (reference flame.py:784-814)
+        def have(*names):
+            return all(nm in self.v for nm in names)
+
         for name, srcs in [
             ("ears", ["right_ear", "left_ear"]),
             ("eyeballs", ["right_eyeball", "left_eyeball"]),
+            ("irises", ["right_iris", "left_iris"]),
             ("left_eye", ["left_eye_region", "left_eyeball"]),
             ("right_eye", ["right_eye_region", "right_eyeball"]),
+            ("eyelids", ["left_eyelid", "right_eyelid"]),
         ]:
-            if all(s in self.v for s in srcs):
+            if have(*srcs):
                 self.v[name] = np.concatenate([self.v[s] for s in srcs])
+        if have("scalp", "face", "neck"):
+            # hair = scalp minus (face | neck)
+            self.v["hair"] = np.setdiff1d(
+                self.v["scalp"],
+                np.union1d(self.v["face"], self.v["neck"]),
+            )
+        if have("eyeballs", "irises"):
+            self.v["sclerae"] = np.setdiff1d(
+                self.v["eyeballs"], self.v["irises"]
+            )
+        skin_except = [r for r in ("eyeballs", "hair", "lips_tight",
+                                   "boundary") if r in self.v]
+        if skin_except:
+            self.v["skin"] = np.setdiff1d(
+                np.arange(self.num_verts),
+                np.unique(np.concatenate([self.v[r] for r in skin_except])),
+            )
 
         self.update(faces, faces_t)
 
@@ -181,6 +210,14 @@ class FlameMask:
             self.f[name] = np.nonzero(hits)[0].astype(np.int64)
             if self.faces_t is not None:
                 self.vt[name] = np.unique(self.faces_t[hits])
+
+        # face-id -> cluster-id lookup (reference flame.py:840-856):
+        # 0 = background, 1 = unclustered foreground, 2+ = face_clusters[i]
+        fid2cid = np.ones(self.num_faces + 1, np.int64)
+        for cid, cluster in enumerate(self.face_clusters):
+            if cluster in self.f:
+                fid2cid[self.f[cluster]] = cid + 2
+        self.fid2cid = fid2cid
 
     # -- queries (reference flame.py:870-924 API) ---------------------------
 
@@ -414,12 +451,22 @@ class FlameHead:
             )
 
         if self.mask is not None:
+            from gaussianavatars_tpu.models import flame_mask_tables as T
+
             self.mask.num_verts = self.num_verts
             self.mask.register("teeth_upper", vid_teeth_upper)
             self.mask.register("teeth_lower", vid_teeth_lower)
             self.mask.register("teeth", np.concatenate(
                 [vid_teeth_upper, vid_teeth_lower]
             ))
+            # the teeth vertices extend the half-face splits
+            # (reference flame.py:255-269)
+            for half, ext in (("left_half", T.LEFT_HALF_TEETH),
+                              ("right_half", T.RIGHT_HALF_TEETH)):
+                if half in self.mask.v:
+                    self.mask.v[half] = np.concatenate(
+                        [self.mask.v[half], ext]
+                    )
             self.mask.update(self.faces, self.textures_idx)
 
     def _build_laplacian_edges(self):

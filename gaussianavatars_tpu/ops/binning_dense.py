@@ -72,6 +72,15 @@ def default_levels(ntx: int, nty: int) -> tuple[tuple[int, int, int | None], ...
     return tuple(out)
 
 
+def scaled_levels(ntx: int, nty: int, scale: int = 1):
+    """default_levels with all tail buckets multiplied by `scale` (the
+    host's grow-and-rejit response to a level_overflow probe)."""
+    return tuple(
+        (w, h, None if b is None else min(b * scale, 1 << RANK_BITS))
+        for w, h, b in default_levels(ntx, nty)
+    )
+
+
 class DenseBinning(NamedTuple):
     ranks: jnp.ndarray           # [K] int32 depth rank per sorted slot
     instance_valid: jnp.ndarray  # [K] bool (False = dead tail)

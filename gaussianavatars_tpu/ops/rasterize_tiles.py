@@ -70,6 +70,7 @@ def rasterize(
     tile_rows: int | None = None,
     binning_impl: str = "sort",
     levels=None,
+    projected: ProjectedGaussians | None = None,
 ) -> RenderOutput:
     """Differentiable tile-based splat render.
 
@@ -84,13 +85,18 @@ def rasterize(
     routing plan and bucket-overflow shortfalls surface in
     `rect_overflow`).
     """
-    proj = project_gaussians(
-        means3d, scales, quats, opacities, shs, sh_degree, camera,
-        scaling_modifier=scaling_modifier,
-        means2d_offset=means2d_offset,
-        colors_precomp=colors_precomp,
-        cov3d_precomp=cov3d_precomp,
-    )
+    if projected is not None:
+        # pre-projected gaussians (the sharded path projects on the owning
+        # shard, all_gathers, and hands the full set here)
+        proj = projected
+    else:
+        proj = project_gaussians(
+            means3d, scales, quats, opacities, shs, sh_degree, camera,
+            scaling_modifier=scaling_modifier,
+            means2d_offset=means2d_offset,
+            colors_precomp=colors_precomp,
+            cov3d_precomp=cov3d_precomp,
+        )
     if active is not None:
         # capacity-padding slots: geometrically projectable but dead — keep
         # them out of binning entirely (no instances, radius 0)

@@ -42,7 +42,7 @@ from gaussianavatars_tpu.utils.image import l1_loss
 def _gathered_render(
     params_shard, binding_shard, frames, active_shard,
     camera: CameraParams, bg, sh_degree, capacity, tile_size, chunk,
-    backend, rows_per, means2d_offset_shard=None,
+    backend, rows_per, means2d_offset_shard=None, binning_impl="dense",
 ):
     """Phase1 on the local shard -> all_gather -> phase2 on local tile rows.
 
@@ -71,40 +71,16 @@ def _gathered_render(
     pid = jax.lax.axis_index("prim")
     row_start = pid * rows_per
 
-    from gaussianavatars_tpu.ops.binning import bin_gaussians
-    from gaussianavatars_tpu.ops.tile_blend import blend_image
+    from gaussianavatars_tpu.ops.rasterize_tiles import rasterize
 
-    binning = bin_gaussians(
-        jax.lax.stop_gradient(proj_all.means2d),
-        jax.lax.stop_gradient(proj_all.depths),
-        proj_all.radii, proj_all.valid,
-        camera.width, camera.height, tile_size, capacity,
+    out = rasterize(
+        None, None, None, None, None, sh_degree, camera, bg,
+        capacity=capacity, tile_size=tile_size, chunk=chunk,
+        backend=backend, binning_impl=binning_impl,
         tile_row_start=row_start, tile_rows=rows_per,
-        means2d_cull=jax.lax.stop_gradient(proj_all.means2d),
-        r2_max=jax.lax.stop_gradient(proj_all.r2_max),
+        projected=proj_all,
     )
-    from gaussianavatars_tpu.ops.instance_pack import (
-        gather_instances, pack_projected,
-    )
-
-    pack = pack_projected(
-        proj_all.means2d, proj_all.conics, proj_all.colors,
-        proj_all.opacities,
-    )
-    inst = gather_instances(
-        pack, binning.gaussian_ids, binning.instance_valid
-    )
-    ranges = jnp.stack(
-        [binning.tile_starts, binning.tile_ends], axis=-1
-    ).astype(jnp.float32)
-
-    py_offset = row_start * tile_size
-    color, trans = blend_image(
-        inst, ranges, py_offset,
-        camera.width, rows_per * tile_size, tile_size, chunk, backend,
-    )
-    slab = color + trans[None, :, :] * bg[:, None, None]
-    return slab, proj_local.radii, proj_local.valid, binning.total
+    return out.image, proj_local.radii, proj_local.valid, out.instance_total
 
 
 def _camera_from_tuple(cam, width, height):
@@ -117,7 +93,7 @@ def _camera_from_tuple(cam, width, height):
 def make_sharded_render(
     mesh: Mesh, width: int, height: int, sh_degree: int,
     capacity: int, tile_size: int = 16, chunk: int = 8,
-    backend: str = "jnp", bound: bool = True,
+    backend: str = "jnp", bound: bool = True, binning_impl: str = "dense",
 ):
     """Single-camera render sharded over the 'prim' axis.
 
@@ -145,7 +121,7 @@ def make_sharded_render(
         slab, _, _, _ = _gathered_render(
             params_shard, binding_shard if bound else None, frames,
             active_shard, camera, bg, sh_degree, capacity, tile_size,
-            chunk, backend, rows_per,
+            chunk, backend, rows_per, binning_impl=binning_impl,
         )
         # concat along leading (row) axis across the prim shards
         return slab.transpose(1, 2, 0)
@@ -240,6 +216,7 @@ def make_sharded_train_step(
                 camera, bg, sh_degree, pipe_cfg.capacity,
                 pipe_cfg.tile_size, pipe_cfg.chunk, pipe_cfg.backend,
                 rows_per, means2d_offset_shard=off_shard,
+                binning_impl=getattr(pipe_cfg, "binning", "dense"),
             )
             image = jax.lax.all_gather(
                 slab.transpose(1, 2, 0), "prim", axis=0, tiled=True

@@ -84,6 +84,7 @@ def make_train_step(model, opt_cfg: OptimizationConfig,
     """Build the jitted train step for one image resolution + capacity."""
     bound = getattr(model, "binding", None) is not None
     flame_model = getattr(model, "flame_model", None)
+    levels = _dense_levels(pipe_cfg, width, height)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: StepState, flame_fixed: dict, binding, active,
@@ -124,6 +125,8 @@ def make_train_step(model, opt_cfg: OptimizationConfig,
                 tile_size=pipe_cfg.tile_size,
                 chunk=pipe_cfg.chunk,
                 backend=pipe_cfg.backend,
+                binning_impl=getattr(pipe_cfg, "binning", "dense"),
+                levels=levels,
                 means2d_offset=means2d_offset,
                 active=active,
             )
@@ -151,7 +154,14 @@ def make_train_step(model, opt_cfg: OptimizationConfig,
                     ) * opt_cfg.lambda_laplacian
                     total = total + losses["lap"]
             losses["total"] = total
-            aux = (losses, out.radii, out.visibility, out.instance_total)
+            probe = out.instance_total
+            if out.rect_overflow is not None:
+                # fold the dense rect-bucket probe into the same scalar
+                # (negative => bucket shortfall; host grows levels)
+                probe = jnp.where(
+                    out.rect_overflow > 0, -out.rect_overflow, probe
+                )
+            aux = (losses, out.radii, out.visibility, probe)
             return total, aux
 
         zeros_off = jnp.zeros((capacity_n, 2), jnp.float32)
@@ -185,6 +195,17 @@ def make_train_step(model, opt_cfg: OptimizationConfig,
         return new_state, losses, instance_total
 
     return step
+
+
+def _dense_levels(pipe_cfg, width, height):
+    """Dense level plan for this resolution, scaled by the grow knob."""
+    if getattr(pipe_cfg, "binning", "dense") != "dense":
+        return None
+    from gaussianavatars_tpu.ops.binning import tile_grid
+    from gaussianavatars_tpu.ops.binning_dense import scaled_levels
+
+    ntx, nty = tile_grid(width, height, pipe_cfg.tile_size)
+    return scaled_levels(ntx, nty, getattr(pipe_cfg, "level_scale", 1))
 
 
 def make_parallel_train_step(mesh, model, opt_cfg: OptimizationConfig,
@@ -268,7 +289,10 @@ def make_render_fn(model, pipe_cfg: PipelineConfig, width: int, height: int,
         out = rasterize(
             means3d, scales, quats, opac, shs, sh_degree, camera, bg,
             capacity=pipe_cfg.capacity, tile_size=pipe_cfg.tile_size,
-            chunk=pipe_cfg.chunk, backend=pipe_cfg.backend, active=active,
+            chunk=pipe_cfg.chunk, backend=pipe_cfg.backend,
+            binning_impl=getattr(pipe_cfg, "binning", "dense"),
+            levels=_dense_levels(pipe_cfg, width, height),
+            active=active,
             colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
         )
         return out.image
@@ -458,6 +482,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     ema_loss = 0.0
     t_start = time.time()
     history = []
+    pending_probe = None
 
     from tqdm import tqdm
 
@@ -538,16 +563,35 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 timestep, lrs,
             )
 
-        # Only touch device values periodically: a float()/int() every
-        # iteration would force a host sync per step and serialize the
-        # dispatch pipeline.
-        if iteration % log_every == 0 or iteration == opt_cfg.iterations:
-            if int(instance_total) > pipe_cfg.capacity:
-                print(f"[warn] instance overflow {int(instance_total)} > "
-                      f"{pipe_cfg.capacity}; growing bucket")
-                pipe_cfg.capacity = int(1.5 * int(instance_total))
+        # Overflow probes are checked EVERY iteration but one step late:
+        # reading the previous step's (already materialized) scalar never
+        # blocks the dispatch pipeline the way a same-step sync would.
+        if pending_probe is not None:
+            pv = int(pending_probe)
+            if pv < 0:
+                print(f"[warn] dense level-bucket shortfall {-pv}; "
+                      f"growing level_scale")
+                pipe_cfg.level_scale = 2 * getattr(pipe_cfg, "level_scale", 1)
                 step_fns.clear()
+            elif pv > pipe_cfg.capacity:
+                print(f"[warn] instance overflow {pv} > "
+                      f"{pipe_cfg.capacity}; growing bucket")
+                pipe_cfg.capacity = int(1.5 * pv)
+                step_fns.clear()
+        pending_probe = instance_total
+
+        if iteration % log_every == 0 or iteration == opt_cfg.iterations:
             total = float(losses["total"])
+            if pipe_cfg.debug and not np.isfinite(total):
+                # reference --debug_from/debug snapshot analog
+                # (gaussian_renderer/__init__.py:49): dump state for
+                # post-mortem instead of crashing blind
+                snap = os.path.join(
+                    model_cfg.model_path, f"snapshot_fw_{iteration}.npz")
+                save_checkpoint(model, state, iteration, snap)
+                raise FloatingPointError(
+                    f"non-finite loss at iteration {iteration}; "
+                    f"state dumped to {snap}")
             ema_loss = 0.4 * total + 0.6 * ema_loss
             history.append((iteration, ema_loss))
             progress.set_postfix({"Loss": f"{ema_loss:.7f}"})

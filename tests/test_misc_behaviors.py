@@ -68,11 +68,18 @@ def test_loader_visits_all_cameras_each_epoch(tmp_path):
             uid=i, R=np.eye(3), T=np.zeros(3), fovx=0.8, fovy=0.8,
             width=8, height=8, image_path=path, image_name=str(i),
         ))
-    loader = CameraLoader(cams, shuffle=True, num_threads=2, seed=0)
-    seen = [next(loader)[0].uid for _ in range(10)]
+    loader = CameraLoader(cams, shuffle=True, num_threads=4, seed=0)
+    seen = [next(loader)[0].uid for _ in range(15)]
     loader.stop()
-    # two epochs: each camera appears exactly twice
-    assert sorted(seen) == sorted(list(range(5)) * 2)
+    # delivery is strictly epoch-ordered: EVERY 5-window is a permutation
+    # (the old thread-interleaved loader only guaranteed this on average)
+    for e in range(3):
+        assert sorted(seen[5 * e:5 * (e + 1)]) == list(range(5)), seen
+    # and reproducible across instances
+    loader2 = CameraLoader(cams, shuffle=True, num_threads=2, seed=0)
+    seen2 = [next(loader2)[0].uid for _ in range(15)]
+    loader2.stop()
+    assert seen2 == seen
 
 
 def test_camera_to_json_layout():
