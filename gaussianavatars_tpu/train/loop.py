@@ -707,6 +707,20 @@ def save_checkpoint(model, state: StepState, iteration: int, path: str):
 
 
 _EVAL_RENDER_FNS: dict = {}
+_EVAL_LPIPS = []  # lazily-constructed singleton ([] = untried, [None] = absent)
+
+
+def _eval_lpips():
+    """LPIPS metric for eval sweeps when weights exist (reference
+    train.py:286-296); silently absent otherwise (weights are user
+    downloads, like the FLAME pickles)."""
+    if not _EVAL_LPIPS:
+        from gaussianavatars_tpu.metrics_lib.lpips import (
+            LPIPS, lpips_available,
+        )
+
+        _EVAL_LPIPS.append(LPIPS() if lpips_available() else None)
+    return _EVAL_LPIPS[0]
 
 
 def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
@@ -726,7 +740,8 @@ def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
     ):
         if not cameras:
             continue
-        l1s, psnrs, ssims = [], [], []
+        l1s, psnrs, ssims, lpipses = [], [], [], []
+        lpips_fn = _eval_lpips()
         vis_every = max(len(cameras) // num_vis_img, 1)
         vis_ct = 0
         for idx, (cam, gt) in enumerate(
@@ -750,6 +765,8 @@ def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
             l1s.append(float(l1_metric(img, gt_j)))
             psnrs.append(float(psnr(img, gt_j)[0]))
             ssims.append(float(ssim_metric(img, gt_j)))
+            if lpips_fn is not None:
+                lpipses.append(float(lpips_fn(img, gt_j)[0]))
             if tb_writer is not None and idx % vis_every == 0:
                 from gaussianavatars_tpu.utils.image import error_map
 
@@ -766,4 +783,6 @@ def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)),
         }
+        if lpipses:
+            results[split]["lpips"] = float(np.mean(lpipses))
     return results
