@@ -43,11 +43,22 @@ def _gathered_render(
     params_shard, binding_shard, frames, active_shard,
     camera: CameraParams, bg, sh_degree, capacity, tile_size, chunk,
     backend, rows_per, means2d_offset_shard=None, binning_impl="dense",
+    gather_chunks: int = 4,
 ):
     """Phase1 on the local shard -> all_gather -> phase2 on local tile rows.
 
     Runs INSIDE shard_map. Returns (slab [3, rows*ts, W], local radii,
     local valid, aligned instance total).
+
+    `gather_chunks` splits the projected-gaussian all_gather into R
+    independent collectives over sub-ranges of the local gaussian axis.
+    The forward semantics are identical (concat restores order); the point
+    is the BACKWARD: the transpose of each chunk's all_gather is its own
+    psum_scatter, so the per-gaussian gradient re-shard decomposes into R
+    collectives that XLA's latency-hiding scheduler can overlap with the
+    (long) backward-blend compute chain instead of one monolithic
+    psum_scatter at the very end — the ">=85% scaling" mechanism
+    (SURVEY.md §7 hard part 5; docs/PARALLEL.md).
     """
     means3d, scales, quats, opac, shs = world_space_gaussians(
         params_shard, binding_shard, frames
@@ -62,11 +73,33 @@ def _gathered_render(
             radii=jnp.where(active_shard, proj_local.radii, 0),
         )
 
-    # SP-style exchange: everyone gets every projected gaussian.
-    proj_all = jax.tree.map(
-        lambda x: jax.lax.all_gather(x, "prim", axis=0, tiled=True),
-        proj_local,
-    )
+    # SP-style exchange: everyone gets every projected gaussian, in R
+    # independently-reshardable chunks (see docstring).
+    n_local = proj_local.means2d.shape[0]
+    r = max(1, min(gather_chunks, n_local))
+    while n_local % r:
+        r -= 1
+    if r == 1:
+        proj_all = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, "prim", axis=0, tiled=True),
+            proj_local,
+        )
+    else:
+        csz = n_local // r
+        n_prim_ax = jax.lax.axis_size("prim")
+
+        def gather_field(x):
+            parts = [
+                jax.lax.all_gather(
+                    x[i * csz:(i + 1) * csz], "prim", axis=0, tiled=True
+                ).reshape((n_prim_ax, csz) + x.shape[1:])
+                for i in range(r)
+            ]
+            # [P, csz, ...] x r -> [P, r, csz, ...] -> [P*n_local, ...]
+            stacked = jnp.stack(parts, axis=1)
+            return stacked.reshape((n_prim_ax * n_local,) + x.shape[1:])
+
+        proj_all = jax.tree.map(gather_field, proj_local)
 
     pid = jax.lax.axis_index("prim")
     row_start = pid * rows_per
@@ -328,6 +361,164 @@ def make_sharded_train_step(
 
         return (new_params, new_flame, new_mu_g, new_nu_g, new_mu_f,
                 new_nu_f, new_count, max_radii, accum, denom, losses,
+                total_inst)
+
+    return jax.jit(step)
+
+
+def make_multisubject_train_step(
+    mesh: Mesh, model, opt_cfg, pipe_cfg, width: int, height: int,
+    sh_degree: int,
+):
+    """Batched multi-subject training: ONE AVATAR PER 'data' GROUP
+    (BASELINE.md stretch config; SURVEY.md §2.5 "multi-subject batched
+    avatar training").
+
+    Every subject-indexed input carries a leading subject axis S ==
+    mesh.shape['data'] and shards over 'data'; within a group, gaussians
+    and tile rows shard over 'prim' exactly like the single-subject step.
+    Subjects share the FLAME topology/bases (the `model`'s FlameHead) but
+    own independent gaussian params, FLAME trainables, Adam moments and
+    densify stats — so no gradient averaging happens across 'data';
+    each group's optimizer advances its own avatar.
+
+    Returns jitted step(params_s, flame_tr_s, flame_fixed_s, binding_s,
+    active_s, cams, gts, bgs, timesteps, lrs, mu_g_s, nu_g_s, mu_f_s,
+    nu_f_s, count, max_radii_s, accum_s, denom_s) with every `_s` input
+    shaped [S, ...]; outputs mirror inputs plus (losses, total_inst).
+    """
+    from gaussianavatars_tpu.models.flame_gaussians import (
+        face_frames_from_verts,
+    )
+    from gaussianavatars_tpu.train import optim
+
+    flame_model = getattr(model, "flame_model", None)
+    n_prim = mesh.shape["prim"]
+    _, nty = tile_grid(width, height, pipe_cfg.tile_size)
+    rows_per = -(-nty // n_prim)
+
+    sub = P("data")                  # subject axis
+    sub_prim = P("data", "prim")     # subject x gaussian shard
+    rep = P()
+
+    in_specs = (
+        sub_prim,  # params [S, N, ...]
+        sub,       # flame_tr [S, ...]
+        sub,       # flame_fixed [S, ...]
+        sub_prim,  # binding [S, N]
+        sub_prim,  # active [S, N]
+        sub,       # cam tuple [S, ...]
+        sub,       # gt [S, 3, H, W]
+        sub,       # bg [S, 3]
+        sub,       # timestep [S]
+        rep,       # lrs
+        sub_prim,  # mu_g
+        sub_prim,  # nu_g
+        sub,       # mu_f
+        sub,       # nu_f
+        rep,       # count
+        sub_prim,  # max_radii
+        sub_prim,  # accum
+        sub_prim,  # denom
+    )
+    out_specs = (sub_prim, sub, sub_prim, sub_prim, sub, sub, rep,
+                 sub_prim, sub_prim, sub_prim, rep, rep)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def step(params_s, flame_tr_s, flame_fixed_s, binding_s, active_s,
+             cams, gts, bgs, timesteps, lrs, mu_g, nu_g, mu_f, nu_f,
+             count, max_radii, accum, denom):
+        # this device's subject (leading axis is 1 after sharding)
+        take = lambda t: jax.tree.map(lambda x: x[0], t)
+        params = take(params_s)
+        flame_tr = take(flame_tr_s)
+        flame_fixed = take(flame_fixed_s)
+        binding = binding_s[0]
+        active = active_s[0]
+        cam = take(cams)
+        gt, bg, timestep = gts[0], bgs[0], timesteps[0]
+        camera = _camera_from_tuple(cam, width, height)
+
+        def loss_fn(params_shard, flame_tr, off_shard):
+            flame_full = {**flame_fixed, **flame_tr}
+            verts = model.verts_at(flame_full, timestep)
+            frames = face_frames_from_verts(verts[0], flame_model.j_faces)
+
+            slab, radii_loc, vis_loc, total_inst = _gathered_render(
+                params_shard, binding, frames, active, camera, bg,
+                sh_degree, pipe_cfg.capacity, pipe_cfg.tile_size,
+                pipe_cfg.chunk, pipe_cfg.backend, rows_per,
+                means2d_offset_shard=off_shard,
+                binning_impl=getattr(pipe_cfg, "binning", "dense"),
+            )
+            image = jax.lax.all_gather(
+                slab.transpose(1, 2, 0), "prim", axis=0, tiled=True
+            )[:height].transpose(2, 0, 1)
+
+            l1 = l1_loss(image, gt) * (1.0 - opt_cfg.lambda_dssim) / n_prim
+            ds = (1.0 - ssim(image, gt)) * opt_cfg.lambda_dssim / n_prim
+            losses = {"l1": l1, "ssim": ds}
+            total = l1 + ds
+            vis = vis_loc.astype(jnp.float32)
+            global_cnt = jnp.maximum(jax.lax.psum(vis.sum(), "prim"), 1.0)
+            val = jax.nn.relu(
+                safe_norm(params_shard.xyz, axis=1) - opt_cfg.threshold_xyz
+            )
+            losses["xyz"] = (
+                jnp.sum(val * vis) / global_cnt * opt_cfg.lambda_xyz
+            )
+            total = total + losses["xyz"]
+            if opt_cfg.lambda_scale != 0.0:
+                val = safe_norm(
+                    jax.nn.relu(jnp.exp(params_shard.scaling)
+                                - opt_cfg.threshold_scale), axis=1,
+                )
+                losses["scale"] = (
+                    jnp.sum(val * vis) / global_cnt * opt_cfg.lambda_scale
+                )
+                total = total + losses["scale"]
+            return total, (losses, radii_loc, vis_loc, total_inst)
+
+        off = jnp.zeros((params.xyz.shape[0], 2), jnp.float32)
+        grads, aux = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            params, flame_tr, off
+        )
+        g_params, g_flame, g_off = grads
+        losses, radii_loc, vis_loc, total_inst = aux
+
+        # NO averaging over 'data': each subject owns its gradients.
+        # FLAME grads accumulate over the subject's prim shards only.
+        g_flame = jax.tree.map(lambda g: jax.lax.psum(g, "prim"), g_flame)
+
+        new_params, new_mu_g, new_nu_g, _ = optim.apply(
+            params, g_params, take(mu_g), take(nu_g), count, lrs["gauss"]
+        )
+        new_flame, new_mu_f, new_nu_f, new_count = optim.apply(
+            flame_tr, g_flame, take(mu_f), take(nu_f), count, lrs["flame"]
+        )
+
+        g_norm = jnp.linalg.norm(g_off, axis=-1)
+        new_accum = accum[0] + jnp.where(vis_loc, g_norm, 0.0)
+        new_denom = denom[0] + vis_loc.astype(jnp.float32)
+        new_radii = jnp.maximum(
+            max_radii[0], jnp.where(vis_loc, radii_loc.astype(jnp.float32),
+                                    0.0)
+        )
+
+        # psum over prim restores full values (image terms carry 1/n_prim,
+        # regularizers are shard-partial); pmean over data = subject mean
+        losses = jax.tree.map(
+            lambda x: jax.lax.pmean(jax.lax.psum(x, "prim"), "data"), losses
+        )
+        total_inst = jax.lax.pmax(jax.lax.pmax(total_inst, "prim"), "data")
+
+        put = lambda t: jax.tree.map(lambda x: x[None], t)
+        return (put(new_params), put(new_flame), put(new_mu_g),
+                put(new_nu_g), put(new_mu_f), put(new_nu_f), new_count,
+                new_radii[None], new_accum[None], new_denom[None], losses,
                 total_inst)
 
     return jax.jit(step)
