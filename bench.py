@@ -66,7 +66,7 @@ def main():
     cam = make_camera(width=WIDTH, height=HEIGHT, fovx=0.5, dist=1.0)
     bg = jnp.ones(3)
 
-    capacity = 2 ** 20
+    capacity = 786_432  # live bucket (total 751839); gather/scatter are row-bound
 
     def raster(scene):
         return rasterize(

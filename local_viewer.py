@@ -95,8 +95,15 @@ class LocalViewerCore:
             flame_param = dict(self.model.flame_param)
             for k, v in self.param_overrides.items():
                 flame_param[k] = jnp.asarray(v)
+        params = self.model.params
+        if scaling_modifier != 1.0:
+            # scales are stored in log space: adding log(m) multiplies the
+            # activated scales by m (the viewer's scaling-modifier slider)
+            params = params._replace(
+                scaling=params.scaling + math.log(max(scaling_modifier,
+                                                      1e-6)))
         img = self._render_fns[key](
-            self.model.params, flame_param,
+            params, flame_param,
             self.model.binding_device() if self.bound else None,
             self.model.active_mask(), camera_arrays(p),
             jnp.ones(3, jnp.float32),
@@ -187,6 +194,67 @@ class LocalViewerCore:
         self.cam.fovy = frame["fovy"]
         self.timestep = min(frame["timestep"], self.model.num_timesteps - 1)
 
+    def clear_keyframes(self):
+        self.keyframes = []
+
+    def reset_overrides(self):
+        """Reset all FLAME slider overrides to the loaded parameters."""
+        self.param_overrides = {}
+
+    # ---- in-viewer playback / recording (reference local_viewer.py
+    # keyframe playback + video record, :122-288, 533-549) ----------------
+
+    def start_playback(self, n_frames: int = 125, loop: bool = True,
+                       record_dir=None):
+        """Begin stepping through the interpolated keyframe trajectory.
+        With `record_dir`, every played frame is captured and an mp4 is
+        assembled when playback finishes (record-to-video)."""
+        self._frames = self.interpolate_trajectory(n_frames)
+        self._play_idx = 0
+        self._play_loop = loop and record_dir is None
+        self._record_dir = record_dir
+        self.playing = bool(self._frames)
+        return self.playing
+
+    def stop_playback(self):
+        self.playing = False
+        if getattr(self, "_record_dir", None):
+            self._finish_recording()
+
+    def tick_playback(self):
+        """Advance one frame: apply the camera/timestep, optionally record.
+        Returns the frame index played, or None when not playing. Call once
+        per UI frame."""
+        if not getattr(self, "playing", False):
+            return None
+        idx = self._play_idx
+        self.apply_frame(self._frames[idx])
+        if self._record_dir is not None:
+            self.save_image(
+                os.path.join(self._record_dir, f"{idx:05d}.png"))
+        self._play_idx += 1
+        if self._play_idx >= len(self._frames):
+            if self._play_loop:
+                self._play_idx = 0
+            else:
+                self.stop_playback()
+        return idx
+
+    def _finish_recording(self):
+        import subprocess
+
+        out_dir = self._record_dir
+        self._record_dir = None
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-framerate", "25", "-i",
+                 f"{out_dir}/%05d.png", "-pix_fmt", "yuv420p",
+                 f"{out_dir}/playback.mp4"],
+                check=False, capture_output=True,
+            )
+        except FileNotFoundError:
+            pass  # no ffmpeg: the recorded frames remain the artifact
+
     def save_image(self, path: str, **render_kwargs):
         from PIL import Image
 
@@ -242,23 +310,72 @@ def main(argv=None):
         dpg.add_image("_texture")
     dpg.set_primary_window("_primary", True)
 
-    with dpg.window(label="Control", width=320, pos=(10, 10)):
+    JOINTS = ("rotation", "neck_pose", "jaw_pose", "eyes_pose")
+    N_EXPR = 10
+
+    with dpg.window(label="Control", width=360, height=args.H - 20,
+                    pos=(10, 10)):
         dpg.add_slider_int(
             label="timestep", min_value=0,
             max_value=core.model.num_timesteps - 1, tag="_t")
         dpg.add_checkbox(label="show mesh", tag="_mesh")
         dpg.add_slider_float(label="mesh opacity", default_value=0.5,
                              min_value=0, max_value=1, tag="_mop")
-        dpg.add_slider_float(label="jaw open", default_value=0.0,
-                             min_value=0, max_value=0.5, tag="_jaw")
-        for i in range(5):
-            dpg.add_slider_float(label=f"expr {i}", default_value=0.0,
-                                 min_value=-3, max_value=3, tag=f"_e{i}")
-        dpg.add_button(label="add keyframe",
-                       callback=lambda: core.add_keyframe())
-        dpg.add_button(
-            label="export trajectory",
-            callback=lambda: core.export_trajectory("trajectory.json"))
+        dpg.add_slider_float(label="scaling modifier", default_value=1.0,
+                             min_value=0, max_value=1, tag="_smod")
+
+        with dpg.collapsing_header(label="FLAME joints", default_open=True):
+            for joint in JOINTS:
+                n_ax = 6 if joint == "eyes_pose" else 3
+                with dpg.tree_node(label=joint, default_open=(
+                        joint == "jaw_pose")):
+                    for ax in range(n_ax):
+                        dpg.add_slider_float(
+                            label=f"{joint}[{ax}]", default_value=0.0,
+                            min_value=-0.5, max_value=0.5,
+                            tag=f"_p_{joint}_{ax}")
+
+        with dpg.collapsing_header(label="expression", default_open=True):
+            for i in range(N_EXPR):
+                dpg.add_slider_float(label=f"expr {i}", default_value=0.0,
+                                     min_value=-3, max_value=3,
+                                     tag=f"_e{i}")
+        dpg.add_button(label="reset sliders", callback=lambda: (
+            core.reset_overrides(),
+            [dpg.set_value(f"_e{i}", 0.0) for i in range(N_EXPR)],
+            [dpg.set_value(f"_p_{j}_{ax}", 0.0) for j in JOINTS
+             for ax in range(6 if j == "eyes_pose" else 3)],
+        ))
+
+        with dpg.collapsing_header(label="keyframe timeline",
+                                   default_open=True):
+            dpg.add_text("keyframes: 0", tag="_kf_count")
+            dpg.add_button(label="add keyframe", callback=lambda: (
+                core.add_keyframe(),
+                dpg.set_value("_kf_count",
+                              f"keyframes: {len(core.keyframes)}")))
+            dpg.add_button(label="clear keyframes", callback=lambda: (
+                core.clear_keyframes(),
+                dpg.set_value("_kf_count", "keyframes: 0")))
+            dpg.add_input_int(label="frames", default_value=125,
+                              tag="_nframes")
+            dpg.add_checkbox(label="record to video", tag="_record")
+
+            def _toggle_play():
+                if getattr(core, "playing", False):
+                    core.stop_playback()
+                else:
+                    rec = None
+                    if dpg.get_value("_record"):
+                        rec = f"playback_{time.time():.0f}"
+                        os.makedirs(rec, exist_ok=True)
+                    core.start_playback(dpg.get_value("_nframes"),
+                                        record_dir=rec)
+
+            dpg.add_button(label="play / pause", callback=_toggle_play)
+            dpg.add_button(
+                label="export trajectory",
+                callback=lambda: core.export_trajectory("trajectory.json"))
         dpg.add_button(
             label="screenshot",
             callback=lambda: core.save_image(f"capture_{time.time():.0f}.png"))
@@ -281,13 +398,24 @@ def main(argv=None):
     dpg.show_viewport()
 
     while dpg.is_dearpygui_running():
-        core.timestep = dpg.get_value("_t")
-        if core.bound:
-            core.set_pose("jaw_pose", 0, dpg.get_value("_jaw"))
-            for i in range(5):
-                core.set_expression(i, dpg.get_value(f"_e{i}"))
+        if core.tick_playback() is not None:
+            dpg.set_value("_t", core.timestep)
+        else:
+            core.timestep = dpg.get_value("_t")
+            if core.bound:
+                for joint in JOINTS:
+                    n_ax = 6 if joint == "eyes_pose" else 3
+                    for ax in range(n_ax):
+                        v = dpg.get_value(f"_p_{joint}_{ax}")
+                        if v != 0.0:
+                            core.set_pose(joint, ax, v)
+                for i in range(N_EXPR):
+                    v = dpg.get_value(f"_e{i}")
+                    if v != 0.0:
+                        core.set_expression(i, v)
         img = core.render(show_mesh=dpg.get_value("_mesh"),
-                          mesh_opacity=dpg.get_value("_mop"))
+                          mesh_opacity=dpg.get_value("_mop"),
+                          scaling_modifier=dpg.get_value("_smod"))
         buf[:] = img.transpose(1, 2, 0)
         dpg.set_value("_texture", buf)
         dpg.render_dearpygui_frame()
