@@ -203,3 +203,51 @@ def test_capture_restore_roundtrip():
         np.asarray(m.params.xyz)[:70], np.asarray(m2.params.xyz)[:70]
     )
     assert int(state2.count) == 5
+
+
+def test_ply_header_matches_reference_layout(tmp_path):
+    """Pin the saved PLY header to the EXACT reference attribute order
+    (scene/gaussian_model.py:236-275): x y z nx ny nz, f_dc_{0..2},
+    f_rest_{...}, opacity, scale_{0..2}, rot_{0..3}, binding_0 — binary
+    little-endian f4 throughout. Reference-trained avatars and ours must
+    interchange byte-layout-wise."""
+    from gaussianavatars_tpu.models.gaussians import GaussianModel
+
+    m = GaussianModel(sh_degree=1, capacity_granularity=64)
+    rng = np.random.default_rng(0)
+    pcd = rng.normal(size=(10, 3)).astype(np.float32)
+    colors = rng.random((10, 3)).astype(np.float32)
+    m.create_from_pcd(pcd, colors, spatial_lr_scale=1.0)
+    path = str(tmp_path / "pc.ply")
+    m.save_ply(path)
+
+    header = open(path, "rb").read(2048).split(b"end_header")[0]
+    lines = header.decode().splitlines()
+    assert lines[0] == "ply"
+    assert "format binary_little_endian 1.0" in lines
+    props = [ln.split()[-1] for ln in lines if ln.startswith("property")]
+    ptypes = {ln.split()[-1]: ln.split()[1] for ln in lines
+              if ln.startswith("property")}
+    want = (["x", "y", "z", "nx", "ny", "nz"]
+            + [f"f_dc_{i}" for i in range(3)]
+            + [f"f_rest_{i}" for i in range(9)]   # (sh1: (4-1)*3 rest)
+            + ["opacity"]
+            + [f"scale_{i}" for i in range(3)]
+            + [f"rot_{i}" for i in range(4)])
+    assert props == want, props
+    assert all(t == "float" for t in ptypes.values()), ptypes
+
+    # bound model additionally carries binding_0 as the LAST column
+    import tempfile
+
+    import __graft_entry__ as GE
+
+    fm = GE._build_tiny_model(tempfile.mkdtemp(dir=tmp_path),
+                              capacity_granularity=16384)
+    path2 = str(tmp_path / "pc_bound.ply")
+    fm.save_ply(path2)
+    header2 = open(path2, "rb").read(4096).split(b"end_header")[0].decode()
+    props2 = [ln.split()[-1] for ln in header2.splitlines()
+              if ln.startswith("property")]
+    assert props2[-1] == "binding_0"
+    assert props2[:6] == ["x", "y", "z", "nx", "ny", "nz"]
