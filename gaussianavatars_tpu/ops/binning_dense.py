@@ -56,10 +56,17 @@ def default_levels(ntx: int, nty: int) -> tuple[tuple[int, int, int | None], ...
     them on `level_overflow` like the capacity bucket. Rects clamp to the
     grid, and levels made redundant by a small grid are dropped.
     """
+    # sized from measured avatar-like rect distributions (~66% of live
+    # gaussians fit 3x3 tiles, ~93% fit 4x4, p99 ~6x6 at tile_size 32):
+    # slot count — the unit every sort/build cost scales with — drops ~20%
+    # vs a (4,4)/(8,8) plan while buckets keep 2-5x headroom over the
+    # measured routing counts (overflow still probed + host-grown)
     plan = [
-        (min(4, ntx), min(4, nty), None),
-        (min(8, ntx), min(8, nty), 8192),
-        (ntx, nty, 64),
+        (min(3, ntx), min(3, nty), None),
+        (min(4, ntx), min(4, nty), 32768),
+        (min(6, ntx), min(6, nty), 8192),
+        (min(10, ntx), min(10, nty), 1024),
+        (ntx, nty, 128),
     ]
     out = [plan[0]]
     for w, h, bucket in plan[1:]:
@@ -181,22 +188,35 @@ def bin_gaussians_dense(
     _, perm = jax.lax.sort(
         (depth_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
     )
-    means_s = means2d[perm]
-    radii_s = radii[perm]
-    valid_s = valid[perm]
 
-    x0, y0, x1, y1 = compute_tile_rects(means_s, radii_s, width, height,
-                                        tile_size)
+    # rects are elementwise in the ORIGINAL order; pack every per-gaussian
+    # column into one int32 matrix (floats bitcast) so the depth permutation
+    # is ONE row gather — random-access ops cost per ROW on this hardware,
+    # so five separate [perm] gathers would cost 5x this one
+    x0_o, y0_o, x1_o, y1_o = compute_tile_rects(means2d, radii, width,
+                                                height, tile_size)
+    cols = [x0_o, y0_o, x1_o, y1_o, valid.astype(jnp.int32)]
+    with_cull = means2d_cull is not None and r2_max is not None
+    if with_cull:
+        bits = jax.lax.bitcast_convert_type
+        cols += [bits(means2d_cull[:, 0].astype(jnp.float32), jnp.int32),
+                 bits(means2d_cull[:, 1].astype(jnp.float32), jnp.int32),
+                 bits(r2_max.astype(jnp.float32), jnp.int32)]
+    packed_s = jnp.stack(cols, axis=1)[perm]        # (N, 5|8) one gather
+
+    x0, y0, x1, y1 = (packed_s[:, 0], packed_s[:, 1], packed_s[:, 2],
+                      packed_s[:, 3])
+    valid_s = packed_s[:, 4] != 0
     y0 = jnp.clip(y0 - tile_row_start, 0, nty)
     y1 = jnp.clip(y1 - tile_row_start, 0, nty)
     rw = jnp.maximum(x1 - x0, 0)
     rh = jnp.maximum(y1 - y0, 0)
     live = valid_s & (rw > 0) & (rh > 0)
 
-    if means2d_cull is not None and r2_max is not None:
-        mc = means2d_cull[perm]
-        mx, my = mc[:, 0], mc[:, 1]
-        r2 = r2_max[perm]
+    if with_cull:
+        unbits = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+        mx, my, r2 = (unbits(packed_s[:, 5]), unbits(packed_s[:, 6]),
+                      unbits(packed_s[:, 7]))
     else:
         mx = my = r2 = None
 

@@ -51,7 +51,8 @@ from gaussianavatars_tpu.ops.instance_pack import (
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
-LOG_T_EPS = math.log(1e-4)
+T_EPS = 1e-4
+LOG_T_EPS = math.log(T_EPS)
 
 
 def _pad_pack(inst, k_pad):
@@ -97,6 +98,26 @@ def _cumsum_sublanes(x, chunk):
         shift *= 2
     return x
 
+
+def _cumprod_sublanes(x, chunk):
+    """Inclusive cumprod along the sublane (instance) axis (same log-shift
+    scan shape as `_cumsum_sublanes` with a multiplicative identity)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < chunk:
+        rolled = pltpu.roll(x, shift, 0)
+        x = x * jnp.where(rows >= shift, rolled, 1.0)
+        shift *= 2
+    return x
+
+
+def _shift_down_one(x, fill):
+    """Exclusive-scan shift: row i takes row i-1's value; row 0 gets fill."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows >= 1, pltpu.roll(x, 1, 0), fill)
+
+
+_MM_PRECISION = jax.lax.Precision.HIGHEST  # see profile_blend A/B
 
 POWER_FUZZ = 1e-4  # the quadratic form is mathematically <= 0 (PD conic);
                    # this absorbs f32 rounding of the MXU evaluation so the
@@ -154,7 +175,7 @@ def _chunk_geometry_t(data_t, basis, tx, ty, row_ok):
         coef, basis,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_MM_PRECISION,
     )                                               # (CH, P)
     expw = jnp.exp(jnp.minimum(power, 0.0))
     e = data_t[:, ROW_OP:ROW_OP + 1] * expw
@@ -175,7 +196,7 @@ def _row_mask(offset, start, end, chunk):
 # ----------------------------------------------------------------------------
 
 def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
-                logt_all, logt_app, color_acc, basis_scr, *,
+                t_all, t_app, color_acc, basis_scr, *,
                 tile_size, chunk, tpb):
     p = tile_size * tile_size
 
@@ -196,8 +217,8 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
         tx = ranges_ref[t, 2].astype(jnp.float32)
         ty = ranges_ref[t, 3].astype(jnp.float32)
 
-        logt_all[...] = jnp.zeros_like(logt_all)
-        logt_app[...] = jnp.zeros_like(logt_app)
+        t_all[...] = jnp.ones_like(t_all)
+        t_app[...] = jnp.ones_like(t_app)
         color_acc[...] = jnp.zeros_like(color_acc)
 
         def chunk_dma(offset, slot):
@@ -212,7 +233,7 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
             chunk_dma(astart, (astart // chunk) % 2).start()
 
         def cond(offset):
-            return (offset < end) & (jnp.max(logt_all[...]) >= LOG_T_EPS)
+            return (offset < end) & (jnp.max(t_all[...]) >= T_EPS)
 
         def body(offset):
             slot = (offset // chunk) % 2
@@ -228,23 +249,27 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
 
             row_ok = _row_mask(offset, start, end, chunk)
             alpha, _, _, _ = _chunk_geometry_t(data_t, basis, tx, ty, row_ok)
-            lo = jnp.log1p(-alpha)                          # (CH, P)
-            cum = _cumsum_sublanes(lo, chunk)
-            mask = (logt_all[...] + cum) >= LOG_T_EPS
-            weight = jnp.where(
-                mask, alpha * jnp.exp(logt_app[...] + (cum - lo)), 0.0
-            )
+            # direct product-space transmittance (the reference CUDA's own
+            # f32 recurrence): no log1p/exp transcendentals per chunk
+            cp = _cumprod_sublanes(1.0 - alpha, chunk)      # (CH, P)
+            mask = (t_all[...] * cp) >= T_EPS
+            cp_excl = _shift_down_one(cp, 1.0)
+            weight = jnp.where(mask, alpha * cp_excl, 0.0) * t_app[...]
 
             colors_t = data_t[:, ROW_R:ROW_B + 1]           # (CH, 3)
             contrib = jax.lax.dot_general(
                 colors_t, weight,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_MM_PRECISION,
             )                                                # (3, P)
             color_acc[...] += contrib
-            logt_all[...] += cum[chunk - 1:chunk, :]
-            logt_app[...] += jnp.sum(lo * mask, axis=0, keepdims=True)
+            t_all[...] *= cp[chunk - 1:chunk, :]
+            # applied product = cp at the last masked row = min over masked
+            # rows (cp is nonincreasing and mask is monotone within a
+            # chunk); 1 when no row passed (fill 2.0 > any cp)
+            ap = jnp.min(jnp.where(mask, cp, 2.0), axis=0, keepdims=True)
+            t_app[...] *= jnp.where(ap <= 1.0, ap, 1.0)
             return offset + chunk
 
         final = jax.lax.while_loop(cond, body, astart)
@@ -255,7 +280,7 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
             chunk_dma(final, (final // chunk) % 2).wait()
 
         out_ref[lt, 0:3, :] = color_acc[...]
-        out_ref[lt, 3:4, :] = jnp.exp(logt_app[...])
+        out_ref[lt, 3:4, :] = t_app[...]
 
     for lt in range(tpb):
         one_tile(lt)
@@ -322,7 +347,7 @@ def blend_image_fwd_pallas(
 
 def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
                 scratch, gscratch, accscratch, sems, gsem, wsems,
-                logt_all, logt_app, s_prefix, basis_scr, *,
+                t_all, t_app, s_prefix, basis_scr, *,
                 tile_size, chunk, tpb):
     p = tile_size * tile_size
 
@@ -335,13 +360,13 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
     for lt in range(tpb):
         _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref,
                   grad_hbm, scratch, gscratch, accscratch, sems, gsem,
-                  wsems, logt_all, logt_app, s_prefix, basis,
+                  wsems, t_all, t_app, s_prefix, basis,
                   tile_size=tile_size, chunk=chunk, tpb=tpb)
 
 
 def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
               scratch, gscratch, accscratch, sems, gsem, wsems,
-              logt_all, logt_app, s_prefix, basis, *, tile_size, chunk, tpb):
+              t_all, t_app, s_prefix, basis, *, tile_size, chunk, tpb):
     p = tile_size * tile_size
     t = pl.program_id(0) * tpb + lt
     start = ranges_ref[t, 0]
@@ -359,8 +384,8 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
     s_total = jnp.sum(g_color * out_color, axis=0, keepdims=True)  # (1, P)
     gt_term = g_t * out_t                                          # (1, P)
 
-    logt_all[...] = jnp.zeros_like(logt_all)
-    logt_app[...] = jnp.zeros_like(logt_app)
+    t_all[...] = jnp.ones_like(t_all)
+    t_app[...] = jnp.ones_like(t_app)
     s_prefix[...] = jnp.zeros_like(s_prefix)
 
     def read_dma(offset, slot):
@@ -412,7 +437,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             grad_write_dma(prev, (prev // chunk) % 2).wait()
 
     def cond(offset):
-        return (offset < end) & (jnp.max(logt_all[...]) >= LOG_T_EPS)
+        return (offset < end) & (jnp.max(t_all[...]) >= T_EPS)
 
     def body(offset):
         slot = (offset // chunk) % 2
@@ -429,10 +454,9 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         alpha, expw, unclamped, (mx, my, cxx, cxy, cyy) = _chunk_geometry_t(
             data_t, basis, tx, ty, row_ok
         )
-        lo = jnp.log1p(-alpha)                               # (CH, P)
-        cum = _cumsum_sublanes(lo, chunk)
-        mask = (logt_all[...] + cum) >= LOG_T_EPS
-        t_before = jnp.exp(logt_app[...] + (cum - lo))       # (CH, P)
+        cp = _cumprod_sublanes(1.0 - alpha, chunk)           # (CH, P)
+        mask = (t_all[...] * cp) >= T_EPS
+        t_before = t_app[...] * _shift_down_one(cp, 1.0)     # (CH, P)
         weight = jnp.where(mask, alpha * t_before, 0.0)
 
         colors_t = data_t[:, ROW_R:ROW_B + 1]                # (CH, 3)
@@ -440,7 +464,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             colors_t, g_color,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION,
         )                                                     # (CH, P)
         dw = cg * weight
         s_incl = s_prefix[...] + _cumsum_sublanes(dw, chunk)  # (CH, P)
@@ -464,7 +488,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             d_power, basis,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION,
         )                                                     # (CH, 8)
         s0, sx, sy = moms[:, 0:1], moms[:, 1:2], moms[:, 2:3]
         sxx, sxy, syy = moms[:, 3:4], moms[:, 4:5], moms[:, 5:6]
@@ -478,7 +502,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             weight, g_color,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION,
         )                                                     # (CH, 3)
         dop_col = jnp.sum(d_op, axis=1, keepdims=True)        # (CH, 1)
         grads_t = jnp.concatenate(
@@ -494,8 +518,9 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
 
         write_grads(offset, offset < start)
 
-        logt_all[...] += cum[chunk - 1:chunk, :]
-        logt_app[...] += jnp.sum(lo * mask, axis=0, keepdims=True)
+        t_all[...] *= cp[chunk - 1:chunk, :]
+        ap = jnp.min(jnp.where(mask, cp, 2.0), axis=0, keepdims=True)
+        t_app[...] *= jnp.where(ap <= 1.0, ap, 1.0)
         s_prefix[...] = s_incl[chunk - 1:chunk, :]
         return offset + chunk
 
