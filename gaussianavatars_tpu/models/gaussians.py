@@ -125,6 +125,10 @@ class GaussianModel:
         self.max_sh_degree = sh_degree
         self.active_sh_degree = 0
         self.capacity_granularity = capacity_granularity
+        # capacity floor: multi-subject batched training pads every
+        # subject to a COMMON bucket so the [S, N, ...] stack stays
+        # rectangular across divergent densification (train/multisubject.py)
+        self.min_capacity = 0
 
         self.params: GaussianParams | None = None
         self.n_alive = 0
@@ -199,7 +203,8 @@ class GaussianModel:
 
     def _install(self, arrays: dict, n: int):
         """Pad host arrays to a capacity bucket and move to device."""
-        cap = _round_capacity(n, self.capacity_granularity)
+        cap = max(_round_capacity(n, self.capacity_granularity),
+                  self.min_capacity)
         self.n_alive = n
 
         def pad(a, fill=0.0):
@@ -220,6 +225,30 @@ class GaussianModel:
             b[:n] = self.binding[:n] if len(self.binding) >= n else self.binding
             self.binding = b
         self.reset_stats()
+
+    def repad(self, opt_state: AdamState, capacity: int) -> AdamState:
+        """Re-install params/moments at a capacity floor, PRESERVING the
+        densification stats (unlike surgery, which resets them). Used by
+        the multi-subject driver to re-align subjects onto a common
+        bucket after per-subject densification."""
+        if capacity <= self.capacity:
+            return opt_state
+        n = self.n_alive
+        stats = [np.asarray(a)[:n] for a in
+                 (self.max_radii2d, self.xyz_gradient_accum, self.denom)]
+        self.min_capacity = capacity
+        p, mu, nu = self._to_host(opt_state)
+        new_state = self._from_host(p, mu, nu, opt_state.count)
+
+        def pad_stat(a):
+            out = np.zeros((self.capacity,), a.dtype)
+            out[:n] = a
+            return jnp.asarray(out)
+
+        self.max_radii2d = pad_stat(stats[0])
+        self.xyz_gradient_accum = pad_stat(stats[1])
+        self.denom = pad_stat(stats[2])
+        return new_state
 
     def reset_stats(self):
         cap = self.capacity

@@ -150,3 +150,76 @@ def test_multisubject_batched_training_matches_solo_runs(tmp_path):
             np.testing.assert_allclose(
                 np.asarray(outi[1][k][0]), np.asarray(flame_b[k][i]),
                 atol=1e-6)
+
+
+def test_multisubject_driver_densify_rebucket(tmp_path):
+    """Host driver: batched training ACROSS a densify event re-buckets
+    subjects onto a common capacity and matches per-subject solo runs
+    (the multi-subject analog of the sharded densify parity test)."""
+    import dataclasses
+    import __graft_entry__ as GE
+    from gaussianavatars_tpu.config import OptimizationConfig, PipelineConfig
+    from gaussianavatars_tpu.parallel.mesh import make_mesh
+    from gaussianavatars_tpu.train.multisubject import MultiSubjectTrainer
+    from .utils import make_camera
+
+    width = height = 64
+
+    def build_models(paths):
+        models = []
+        for scale in (1.0, 0.9):
+            m = GE._build_tiny_model(str(paths), capacity_granularity=1024)
+            m.params = jax.tree.map(lambda x: x * scale, m.params)
+            models.append(m)
+        return models
+
+    opt_cfg = OptimizationConfig(
+        densify_from_iter=1, densification_interval=2,
+        densify_until_iter=100, densify_grad_threshold=1e-12,
+        opacity_reset_interval=10_000, percent_dense=0.01,
+    )
+
+    rng = np.random.default_rng(3)
+    gts = rng.random((2, 8, 3, height, width)).astype(np.float32)
+
+    def batch_fn(subject, iteration):
+        p = make_camera(width=width, height=height, dist=6.0,
+                        angle=0.2 * subject + 0.05 * iteration)
+        cam = (p.viewmatrix, p.projmatrix, p.campos,
+               jnp.asarray(p.tan_fovx), jnp.asarray(p.tan_fovy))
+        return cam, gts[subject, iteration % 8], np.ones(3, np.float32), 0
+
+    def run(sub_indices, n_data, subdir):
+        pipe_cfg = PipelineConfig(backend="jnp", capacity=65536, chunk=8,
+                                  tile_size=16)
+        models = build_models(tmp_path / subdir)
+        models = [models[i] for i in sub_indices]
+        mesh = make_mesh(n_data=n_data, n_prim=4)
+        tr = MultiSubjectTrainer(
+            models, mesh, opt_cfg, pipe_cfg, width, height,
+            extents=[6.0] * len(models),
+        )
+        bf = (batch_fn if n_data == 2
+              else lambda _, it: batch_fn(sub_indices[0], it))
+        tr.train(bf, 1, 4, densify=True)
+        return tr
+
+    tr_b = run([0, 1], 2, "b")
+
+    # densify fired (threshold ~0 forces clones) and capacities re-bucketed
+    assert all(m.n_alive > 0 for m in tr_b.models)
+    caps = {m.capacity for m in tr_b.models}
+    assert caps == {tr_b.common_capacity}
+    assert tr_b.common_capacity >= max(m.n_alive for m in tr_b.models)
+
+    # per-subject solo runs reproduce the batched trajectories
+    for i in range(2):
+        tr_s = run([i], 1, f"s{i}")
+        mb, ms = tr_b.models[i], tr_s.models[0]
+        assert ms.n_alive == mb.n_alive
+        np.testing.assert_allclose(
+            np.asarray(ms.params.xyz[:ms.n_alive]),
+            np.asarray(mb.params.xyz[:mb.n_alive]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ms.params.opacity[:ms.n_alive]),
+            np.asarray(mb.params.opacity[:mb.n_alive]), atol=1e-6)
