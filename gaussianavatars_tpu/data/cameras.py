@@ -59,10 +59,13 @@ class Camera:
         h = height or self.height
         wv = self.world_view_transform()
         proj = perspective_projection(ZNEAR, ZFAR, self.fovx, self.fovy)
+        # numpy leaves on purpose: eager jnp.asarray costs a full RPC
+        # round trip per call on tunneled TPU frontends (~10 ms), while
+        # numpy jit arguments ride the dispatch transfer (~0.1 ms)
         return CameraParams(
-            viewmatrix=jnp.asarray(wv),
-            projmatrix=jnp.asarray(full_projection(wv, proj)),
-            campos=jnp.asarray(camera_center_from_world_view(wv)),
+            viewmatrix=np.asarray(wv, np.float32),
+            projmatrix=np.asarray(full_projection(wv, proj), np.float32),
+            campos=np.asarray(camera_center_from_world_view(wv), np.float32),
             tan_fovx=math.tan(self.fovx * 0.5),
             tan_fovy=math.tan(self.fovy * 0.5),
             width=w,

@@ -160,7 +160,14 @@ class GaussianModel:
             self.active_sh_degree += 1
 
     def active_mask(self) -> jnp.ndarray:
-        return jnp.arange(self.capacity) < self.n_alive
+        # cached: this runs every training iteration and an eager device
+        # op costs an RPC round trip on tunneled TPU frontends
+        key = (self.capacity, self.n_alive)
+        cached = getattr(self, "_active_cache", None)
+        if cached is None or cached[0] != key:
+            cached = (key, jnp.arange(self.capacity) < self.n_alive)
+            self._active_cache = cached
+        return cached[1]
 
     def create_from_pcd(self, points: Optional[np.ndarray],
                         colors: Optional[np.ndarray],
@@ -259,7 +266,11 @@ class GaussianModel:
     def binding_device(self) -> Optional[jnp.ndarray]:
         if self.binding is None:
             return None
-        return jnp.asarray(self.binding, jnp.int32)
+        cached = getattr(self, "_binding_cache", None)
+        if cached is None or cached[0] is not self.binding:
+            cached = (self.binding, jnp.asarray(self.binding, jnp.int32))
+            self._binding_cache = cached
+        return cached[1]
 
     # ------------------------------------------------------------------
     # Densification (host-side numpy, mirrors reference exactly)
@@ -485,7 +496,7 @@ class GaussianModel:
             cols.append(("binding_0", self.binding[:n].astype(np.float32)))
         plyio.write_ply(path, cols)
 
-    def load_ply(self, path: str):
+    def load_ply(self, path: str, has_target: bool = False):
         """reference scene/gaussian_model.py:282-332."""
         d = plyio.read_ply(path)
         n = len(d["x"])

@@ -56,12 +56,14 @@ class CameraArrays(NamedTuple):
 
 
 def camera_arrays(params: CameraParams) -> CameraArrays:
+    # numpy leaves: see Camera.to_params — eager scalar device puts cost
+    # an RPC round trip each on tunneled frontends
     return CameraArrays(
         viewmatrix=params.viewmatrix,
         projmatrix=params.projmatrix,
         campos=params.campos,
-        tan_fovx=jnp.asarray(params.tan_fovx, jnp.float32),
-        tan_fovy=jnp.asarray(params.tan_fovy, jnp.float32),
+        tan_fovx=np.float32(params.tan_fovx),
+        tan_fovy=np.float32(params.tan_fovy),
     )
 
 
@@ -482,7 +484,12 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     ema_loss = 0.0
     t_start = time.time()
     history = []
-    pending_probe = None
+    timeline = []
+    # 2-deep probe/loss read pipeline: by the time an entry is read, its
+    # async D2H copy has fully landed, so the read never pays the tunnel
+    # round trip (reading 1 step late still stalls ~1 RTT after the step)
+    from collections import deque
+    pending = deque()
 
     from tqdm import tqdm
 
@@ -541,11 +548,11 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 lambda *xs: jnp.stack(xs),
                 *[camera_arrays(p) for p in plist],
             )
-            gt_batch = jnp.stack([jnp.asarray(g) for _, g in views])
-            bg_batch = jnp.stack(
-                [jnp.asarray(c.bg, jnp.float32) for c, _ in views])
-            ts_batch = jnp.asarray(
-                [c.timestep or 0 for c, _ in views], jnp.int32)
+            gt_batch = np.stack([np.asarray(g, np.float32) for _, g in views])
+            bg_batch = np.stack(
+                [np.asarray(c.bg, np.float32) for c, _ in views])
+            ts_batch = np.asarray(
+                [c.timestep or 0 for c, _ in views], np.int32)
             state, losses, instance_total = step_fns[key](
                 state, flame_fixed,
                 model.binding_device() if bound else None,
@@ -553,21 +560,29 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 ts_batch, lrs,
             )
         else:
-            timestep = jnp.asarray(cam.timestep or 0, jnp.int32)
-            cam_bg = jnp.asarray(cam.bg, jnp.float32)
+            timestep = np.int32(cam.timestep or 0)
+            cam_bg = np.asarray(cam.bg, np.float32)
 
             state, losses, instance_total = step_fns[key](
                 state, flame_fixed, model.binding_device() if bound else None,
                 model.active_mask(),
-                camera_arrays(params_cam), jnp.asarray(gt), cam_bg,
+                camera_arrays(params_cam), np.asarray(gt, np.float32), cam_bg,
                 timestep, lrs,
             )
 
-        # Overflow probes are checked EVERY iteration but one step late:
-        # reading the previous step's (already materialized) scalar never
-        # blocks the dispatch pipeline the way a same-step sync would.
-        if pending_probe is not None:
-            pv = int(pending_probe)
+        # Probes and losses are checked EVERY iteration but one step late,
+        # via async D2H copies started at dispatch time: a synchronous
+        # device_get costs a full host<->device round trip (~30-100 ms on
+        # tunneled TPU frontends) even for materialized scalars, while a
+        # pipelined copy has already landed by the next iteration.
+        instance_total.copy_to_host_async()
+        for v in losses.values():
+            v.copy_to_host_async()
+        pending.append((instance_total, losses))
+        pv = None
+        if len(pending) > 2 or iteration == opt_cfg.iterations:
+            pv = int(pending.popleft()[0])
+        if pv is not None:
             if pv < 0:
                 print(f"[warn] dense level-bucket shortfall {-pv}; "
                       f"growing level_scale")
@@ -578,10 +593,12 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                       f"{pipe_cfg.capacity}; growing bucket")
                 pipe_cfg.capacity = int(1.5 * pv)
                 step_fns.clear()
-        pending_probe = instance_total
-
         if iteration % log_every == 0 or iteration == opt_cfg.iterations:
-            total = float(losses["total"])
+            # final iteration reads its own losses (sync); otherwise the
+            # oldest pipelined copy keeps logging stall-free
+            src_losses = (losses if iteration == opt_cfg.iterations
+                          or not pending else pending[0][1])
+            total = float(src_losses["total"])
             if pipe_cfg.debug and not np.isfinite(total):
                 # reference --debug_from/debug snapshot analog
                 # (gaussian_renderer/__init__.py:49): dump state for
@@ -594,10 +611,11 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     f"state dumped to {snap}")
             ema_loss = 0.4 * total + 0.6 * ema_loss
             history.append((iteration, ema_loss))
+            timeline.append((iteration, time.time()))
             progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
             progress.update(min(log_every, opt_cfg.iterations - progress.n))
             if tb_writer is not None:
-                for k, v in losses.items():
+                for k, v in src_losses.items():
                     tb_writer.add_scalar(
                         f"train_loss_patches/{k}_loss", float(v), iteration
                     )
@@ -689,11 +707,21 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 os.path.join(model_cfg.model_path, f"chkpnt{iteration}.npz"),
             )
 
+    # drain unchecked overflow probes from the pipeline tail (growth can't
+    # help a finished run, but silent truncation must never be silent)
+    while pending:
+        pv = int(pending.popleft()[0])
+        if pv < 0:
+            print(f"[warn] dense level-bucket shortfall {-pv} in final steps")
+        elif pv > pipe_cfg.capacity:
+            print(f"[warn] instance overflow {pv} > {pipe_cfg.capacity} "
+                  "in final steps")
+
     progress.close()
     loader.stop()
     elapsed = time.time() - t_start
     return model, state, {"ema_loss": ema_loss, "elapsed": elapsed,
-                          "history": history}
+                          "history": history, "timeline": timeline}
 
 
 def save_checkpoint(model, state: StepState, iteration: int, path: str):

@@ -158,6 +158,7 @@ class MultiSubjectTrainer:
         """
         opt = self.opt_cfg
         losses = {}
+        pending_probe = None
         for iteration in range(first_iter, last_iter + 1):
             cams, gts, bgs, tss = [], [], [], []
             for i in range(self.s):
@@ -187,13 +188,20 @@ class MultiSubjectTrainer:
              self.mu_f, self.nu_f, self._count, self.max_radii_s,
              self.accum_s, self.denom_s, losses, total_inst) = out
 
-            # instance-stream overflow probe (checked every iteration)
-            ti = int(total_inst)
-            if ti > self.pipe_cfg.capacity:
-                log(f"[multisubject] instance demand {ti} > "
-                    f"{self.pipe_cfg.capacity}; growing bucket")
-                self.pipe_cfg.capacity = int(1.5 * ti)
-                self._step_cache.clear()
+            # overflow probe pipelined one step late via an async D2H
+            # copy: a synchronous read costs a host<->device round trip
+            # (train/loop.py has the same pattern)
+            total_inst.copy_to_host_async()
+            probe, pending_probe = pending_probe, total_inst
+            if iteration == last_iter:
+                probe = total_inst
+            if probe is not None:
+                ti = int(probe)
+                if ti > self.pipe_cfg.capacity:
+                    log(f"[multisubject] instance demand {ti} > "
+                        f"{self.pipe_cfg.capacity}; growing bucket")
+                    self.pipe_cfg.capacity = int(1.5 * ti)
+                    self._step_cache.clear()
 
             if densify and iteration < opt.densify_until_iter:
                 hit_densify = (
