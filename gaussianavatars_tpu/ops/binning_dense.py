@@ -101,6 +101,9 @@ class DenseBinning(NamedTuple):
     level_sizes: tuple           # static (gaussians_per_level, kmax) pairs
     num_tiles_x: int
     num_tiles_y: int
+    rank_live_counts: jnp.ndarray = None  # [N] live slots per depth rank
+                                 # (drives the gather-based gradient
+                                 # reduction, instance_pack.py)
 
     @property
     def gaussian_ids(self):
@@ -141,7 +144,8 @@ def _level_keys(
         slot_live = slot_live & (dx * dx + dy * dy <= r2[:, None])
     tile_id = jnp.where(slot_live, ty * ntx + tx, num_tiles)
     keys = (tile_id << RANK_BITS) | rank_ids[:, None]
-    return keys.reshape(-1), jnp.sum(slot_live.astype(jnp.int32))
+    row_counts = jnp.sum(slot_live.astype(jnp.int32), axis=1)   # (G,)
+    return keys.reshape(-1), row_counts
 
 
 def bin_gaussians_dense(
@@ -247,6 +251,7 @@ def bin_gaussians_dense(
     overflow = []
     level_sizes = []
     total = jnp.int32(0)
+    rank_counts = jnp.zeros((n,), jnp.int32)
     for li, (rect_w, rect_h, bucket) in enumerate(levels):
         if bucket is None:
             sel = ranks
@@ -269,13 +274,20 @@ def bin_gaussians_dense(
             args += [mx[sel], my[sel], r2[sel]]
         else:
             args += [None, None, None]
-        keys, cnt = _level_keys(
+        keys, row_counts = _level_keys(
             *args, rect_w, rect_h, num_tiles, ntx, nty, tile_size,
             tile_row_start,
         )
         key_parts.append(keys)
         level_sizes.append((g, rect_w * rect_h))
-        total = total + cnt
+        total = total + jnp.sum(row_counts)
+        if bucket is None:
+            # level 0 routes by identity: counts land directly on ranks
+            rank_counts = rank_counts + row_counts
+        else:
+            # tiny scatter (bucket-sized) onto the routed ranks
+            rank_counts = rank_counts.at[sel].add(
+                jnp.where(lvl_live, row_counts, 0), mode="drop")
 
     all_keys = jnp.concatenate(key_parts)
 
@@ -309,4 +321,5 @@ def bin_gaussians_dense(
         level_sizes=tuple(level_sizes),
         num_tiles_x=ntx,
         num_tiles_y=nty,
+        rank_live_counts=rank_counts,
     )

@@ -54,44 +54,79 @@ def gather_instances(pack: jnp.ndarray, ids: jnp.ndarray,
     return jnp.where(row_sel, inst * mask, inst)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gather_instances_perm(pack_ranked, ranks, slot_valid, capacity):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
+def gather_instances_perm(pack_ranked, ranks, slot_valid, capacity,
+                          rank_counts=None, max_seg=None):
     """(N, 16) depth-rank-ordered pack x [K] stream -> (16, K).
 
     Functionally matches `gather_instances(pack_ranked, ranks, slot_valid)`
-    with a hand-written transpose: the cotangent is reduced by a single
-    scatter-add over the LIVE stream prefix (`capacity` slots; the dense
-    binning sorts live keys to a contiguous prefix and probes `total`
-    against this bound). XLA's native transpose would scatter over the
-    whole padded stream and recompute masks; on this hardware scatter rows
-    are the dominant cost (~16 ns/row regardless of width), so halving the
-    rows halves the backward reduction.
+    with a hand-written transpose over the LIVE stream prefix (`capacity`
+    slots; the dense binning sorts live keys to a contiguous prefix and
+    probes `total` against this bound).
+
+    Two reduction strategies for the cotangent:
+      * rank_counts is None: one scatter-add over the prefix (~13 ns/row
+        measured: a random read-modify-write pair per row).
+      * rank_counts given ([N] live slots per rank, from
+        binning_dense.rank_live_counts) + max_seg (static bound on slots
+        per gaussian, e.g. the tile count): pair-sort the prefix by rank
+        (pair sorts cost the same as payload-free sorts on TPU), gather
+        rows into rank-grouped order (~5 ns/row), segmented shift-add so
+        each segment's total lands on its first row, and gather the N
+        segment heads. Random accesses drop from 2/row to ~1/row.
+        CAVEAT: if true demand exceeded `capacity` (overflow probe firing),
+        counts and the truncated stream disagree and this step's gradients
+        are finite but wrong until the host re-buckets — the same
+        transient the scatter path spends on dropped contributions.
 
     Args:
       pack_ranked: (N, 16) projected pack in depth-rank order.
       ranks: [K] depth rank per sorted stream position.
       slot_valid: [K] live mask (dead tail slots get zero opacity).
       capacity: static bound on the live prefix the backward reduces over.
+      rank_counts: optional [N] int32 live-slot count per rank.
+      max_seg: static upper bound on any single rank's slot count.
     """
     return gather_instances(pack_ranked, ranks, slot_valid)
 
 
-def _gather_perm_fwd(pack_ranked, ranks, slot_valid, capacity):
+def _gather_perm_fwd(pack_ranked, ranks, slot_valid, capacity, rank_counts,
+                     max_seg):
     out = gather_instances(pack_ranked, ranks, slot_valid)
-    return out, (ranks, slot_valid, pack_ranked.shape[0])
+    return out, (ranks, slot_valid, rank_counts, pack_ranked.shape[0])
 
 
-def _gather_perm_bwd(capacity, residuals, g):
-    ranks, slot_valid, n = residuals
+def _gather_perm_bwd(capacity, max_seg, residuals, g):
+    ranks, slot_valid, rank_counts, n = residuals
     cap = min(capacity, ranks.shape[0])
-    # the live prefix is all-valid, so the forward's opacity-row masking is
-    # the identity there; grads beyond the live prefix are exact zeros
-    # (the blend backward zero-fills past coverage), making the slice safe
     gt = g[:, :cap].T                                  # (cap, 16)
-    d_by_rank = jnp.zeros((n, PACK_ROWS), g.dtype).at[ranks[:cap]].add(
-        gt, mode="drop"
+    if rank_counts is None:
+        # grads beyond the live prefix are exact zeros (the blend backward
+        # zero-fills past coverage), making the prefix slice safe
+        d_by_rank = jnp.zeros((n, PACK_ROWS), g.dtype).at[ranks[:cap]].add(
+            gt, mode="drop"
+        )
+        return (d_by_rank, None, None, None)
+
+    # rank-grouped gather + segmented reduce (see docstring)
+    rk = jnp.where(slot_valid[:cap], ranks[:cap], n)   # dead slots last
+    rk_sorted, pos = jax.lax.sort(
+        (rk, jnp.arange(cap, dtype=jnp.int32)), num_keys=1
     )
-    return (d_by_rank, None, None)
+    x = gt[pos]                                        # (cap, 16) by rank
+    # segmented suffix accumulation: after log2(max_seg) masked shift-adds
+    # each segment's FIRST row holds the segment total (keys are sorted,
+    # so an equal key at distance s implies the whole gap is one segment)
+    shift = 1
+    while shift < max(2, max_seg):
+        same = jnp.pad(rk_sorted[shift:] == rk_sorted[:-shift], (0, shift))
+        shifted = jnp.pad(x[shift:], ((0, shift), (0, 0)))
+        x = x + jnp.where(same[:, None], shifted, 0.0)
+        shift *= 2
+    starts = jnp.minimum(
+        jnp.cumsum(rank_counts) - rank_counts, cap - 1)  # exclusive cumsum
+    d_by_rank = jnp.where((rank_counts > 0)[:, None], x[starts], 0.0)
+    return (d_by_rank, None, None, None)
 
 
 gather_instances_perm.defvjp(_gather_perm_fwd, _gather_perm_bwd)

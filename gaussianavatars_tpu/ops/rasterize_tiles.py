@@ -139,6 +139,8 @@ def rasterize(
         inst = gather_instances_perm(
             pack_ranked, binning.ranks[:live_cap],
             binning.instance_valid[:live_cap], capacity,
+            binning.rank_live_counts,
+            binning.num_tiles_x * binning.num_tiles_y,
         )
         rect_overflow = (
             jnp.max(binning.level_overflow)
