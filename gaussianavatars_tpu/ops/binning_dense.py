@@ -269,11 +269,27 @@ def bin_gaussians_dense(
             sel = sel_keys & ((1 << RANK_BITS) - 1)
             lvl_live = (sel_keys >> RANK_BITS) == li
             g = bucket
-        args = [sel, x0[sel], y0[sel], rw[sel], rh[sel], lvl_live]
-        if r2 is not None:
-            args += [mx[sel], my[sel], r2[sel]]
+        if bucket is None:
+            args = [sel, x0, y0, rw, rh, lvl_live]
+            args += [mx, my, r2] if r2 is not None else [None, None, None]
         else:
-            args += [None, None, None]
+            # ONE row gather for all per-gaussian columns (random access
+            # costs per row; seven separate [sel] gathers would cost 7x)
+            cols = [x0, y0, rw, rh]
+            if r2 is not None:
+                bits = jax.lax.bitcast_convert_type
+                cols += [bits(mx, jnp.int32), bits(my, jnp.int32),
+                         bits(r2, jnp.int32)]
+            sub = jnp.stack(cols, axis=1)[sel]          # (bucket, 4|7)
+            args = [sel, sub[:, 0], sub[:, 1], sub[:, 2], sub[:, 3],
+                    lvl_live]
+            if r2 is not None:
+                unbits = lambda v: jax.lax.bitcast_convert_type(
+                    v, jnp.float32)
+                args += [unbits(sub[:, 4]), unbits(sub[:, 5]),
+                         unbits(sub[:, 6])]
+            else:
+                args += [None, None, None]
         keys, row_counts = _level_keys(
             *args, rect_w, rect_h, num_tiles, ntx, nty, tile_size,
             tile_row_start,
