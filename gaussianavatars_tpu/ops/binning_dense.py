@@ -241,7 +241,9 @@ def bin_gaussians_dense(
         need = need + ((rw > rect_w) | (rh > rect_h)).astype(jnp.int32)
     need = jnp.where(live, need, num_levels)
     route_key = (need << RANK_BITS) | ranks
-    sorted_route = jax.lax.sort(route_key)
+    # keys are unique (rank in the low bits): unstable sorts skip the
+    # implicit iota payload XLA adds for stability
+    sorted_route = jax.lax.sort(route_key, is_stable=False)
     level_offs = jnp.searchsorted(
         sorted_route,
         (jnp.arange(num_levels + 1, dtype=jnp.int32) << RANK_BITS),
@@ -307,8 +309,9 @@ def bin_gaussians_dense(
 
     all_keys = jnp.concatenate(key_parts)
 
-    # ---- ONE payload-free sort (keys unique: tile << RANK_BITS | rank) -----
-    sorted_key = jax.lax.sort(all_keys)
+    # ---- ONE payload-free sort (keys unique: tile << RANK_BITS | rank;
+    # unstable skips XLA's implicit stability payload) ----------------------
+    sorted_key = jax.lax.sort(all_keys, is_stable=False)
     sorted_rank = sorted_key & ((1 << RANK_BITS) - 1)
     sorted_valid = sorted_key < (num_tiles << RANK_BITS)
 

@@ -110,8 +110,9 @@ def _gather_perm_bwd(capacity, max_seg, residuals, g):
 
     # rank-grouped gather + segmented reduce (see docstring)
     rk = jnp.where(slot_valid[:cap], ranks[:cap], n)   # dead slots last
+    # unstable: within-segment order is irrelevant to a segment sum
     rk_sorted, pos = jax.lax.sort(
-        (rk, jnp.arange(cap, dtype=jnp.int32)), num_keys=1
+        (rk, jnp.arange(cap, dtype=jnp.int32)), num_keys=1, is_stable=False
     )
     x = gt[pos]                                        # (cap, 16) by rank
     # segmented suffix accumulation: after log2(max_seg) masked shift-adds
