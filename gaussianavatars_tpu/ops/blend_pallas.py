@@ -399,6 +399,20 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
     def _():
         read_dma(astart, (astart // chunk) % 2).start()
 
+    def boundary_rd():
+        # RMW read of the chunk shared with the previous tile; that tile
+        # drained its writes before finishing, so this is race-free
+        return pltpu.make_async_copy(
+            grad_hbm.at[:, pl.ds(pl.multiple_of(astart, chunk), chunk)],
+            accscratch, gsem,
+        )
+
+    @pl.when((astart < start) & (astart < end))
+    def _():
+        # prefetch at tile start: the first chunk's compute hides the
+        # read instead of a synchronous stall at its write
+        boundary_rd().start()
+
     def grad_write_dma(offset, slot):
         off = pl.multiple_of((offset // chunk) * chunk, chunk)
         return pltpu.make_async_copy(
@@ -416,13 +430,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
 
         @pl.when(accumulate)
         def _():
-            rd = pltpu.make_async_copy(
-                grad_hbm.at[:, pl.ds(
-                    pl.multiple_of((offset // chunk) * chunk, chunk), chunk
-                )], accscratch, gsem,
-            )
-            rd.start()
-            rd.wait()
+            boundary_rd().wait()   # started at tile init
             gscratch[slot] += accscratch[...]
 
         grad_write_dma(offset, slot).start()
