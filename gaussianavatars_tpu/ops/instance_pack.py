@@ -117,16 +117,26 @@ def _gather_perm_bwd(capacity, max_seg, residuals, g):
     x = gt[pos]                                        # (cap, 16) by rank
     # segmented suffix accumulation: after log2(max_seg) masked shift-adds
     # each segment's FIRST row holds the segment total (keys are sorted,
-    # so an equal key at distance s implies the whole gap is one segment)
+    # so an equal key at distance s implies the whole gap is one segment).
+    # Only rows 0:9 of the pack carry gradients; scanning an (cap, 8) +
+    # (cap, 1) split moves 9/16 of the bytes of the full-width scan.
+    x8, x1 = x[:, :ROW_OP], x[:, ROW_OP:ROW_OP + 1]
     shift = 1
     while shift < max(2, max_seg):
         same = jnp.pad(rk_sorted[shift:] == rk_sorted[:-shift], (0, shift))
-        shifted = jnp.pad(x[shift:], ((0, shift), (0, 0)))
-        x = x + jnp.where(same[:, None], shifted, 0.0)
+        x8 = x8 + jnp.where(same[:, None],
+                            jnp.pad(x8[shift:], ((0, shift), (0, 0))), 0.0)
+        x1 = x1 + jnp.where(same[:, None],
+                            jnp.pad(x1[shift:], ((0, shift), (0, 0))), 0.0)
         shift *= 2
     starts = jnp.minimum(
         jnp.cumsum(rank_counts) - rank_counts, cap - 1)  # exclusive cumsum
-    d_by_rank = jnp.where((rank_counts > 0)[:, None], x[starts], 0.0)
+    live = (rank_counts > 0)[:, None]
+    d_by_rank = jnp.concatenate([
+        jnp.where(live, x8[starts], 0.0),
+        jnp.where(live, x1[starts], 0.0),
+        jnp.zeros((n, PACK_ROWS - ROW_OP - 1), g.dtype),
+    ], axis=1)
     return (d_by_rank, None, None, None)
 
 
