@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussianavatars_tpu.ops.covariance import build_covariance_3d
-from gaussianavatars_tpu.ops.sh import eval_sh
+from gaussianavatars_tpu.ops.sh import eval_sh_kc
 
 
 class ProjectedGaussians(NamedTuple):
@@ -296,10 +296,9 @@ def project_gaussians(
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
         )
-        # shs: [N, K, 3] -> eval over channel-last layout; dirs broadcast
-        # [N, 1] against the [N, 3] channel axis inside eval_sh.
-        sh_cl = jnp.swapaxes(shs, -1, -2)  # [N, 3, K]
-        colors = eval_sh(sh_degree, sh_cl, dirs) + 0.5
+        # shs stay [N, K, 3]: eval_sh_kc slices contiguous [N, k, :]
+        # coefficients, avoiding a [N, K, C] relayout copy
+        colors = eval_sh_kc(sh_degree, shs, dirs) + 0.5
         colors = jnp.maximum(colors, 0.0)
 
     return ProjectedGaussians(

@@ -105,6 +105,61 @@ def eval_sh(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return result
 
 
+def eval_sh_kc(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """`eval_sh` over [..., K, C]-laid-out coefficients (K in the MIDDLE).
+
+    Functionally identical to `eval_sh(degree, swapaxes(sh, -1, -2), dirs)`
+    but indexes coefficients as contiguous [..., k, :] slices: the
+    channel-minor layout matches how SH features are stored, so XLA emits
+    no [N, K, C] -> [N, C, K] relayout copy (~1.2 ms at 100k gaussians).
+    """
+    assert 0 <= degree <= 4
+    s = lambda k: sh[..., k, :]
+    result = _C0 * s(0)
+    if degree > 0:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        result = result - _C1 * y * s(1) + _C1 * z * s(2) - _C1 * x * s(3)
+        if degree > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (
+                result
+                + _C2[0] * xy * s(4)
+                + _C2[1] * yz * s(5)
+                + _C2[2] * (2.0 * zz - xx - yy) * s(6)
+                + _C2[3] * xz * s(7)
+                + _C2[4] * (xx - yy) * s(8)
+            )
+            if degree > 2:
+                result = (
+                    result
+                    + _C3[0] * y * (3.0 * xx - yy) * s(9)
+                    + _C3[1] * xy * z * s(10)
+                    + _C3[2] * y * (4.0 * zz - xx - yy) * s(11)
+                    + _C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * s(12)
+                    + _C3[4] * x * (4.0 * zz - xx - yy) * s(13)
+                    + _C3[5] * z * (xx - yy) * s(14)
+                    + _C3[6] * x * (xx - 3.0 * yy) * s(15)
+                )
+                if degree > 3:
+                    result = (
+                        result
+                        + _C4[0] * xy * (xx - yy) * s(16)
+                        + _C4[1] * yz * (3.0 * xx - yy) * s(17)
+                        + _C4[2] * xy * (7.0 * zz - 1.0) * s(18)
+                        + _C4[3] * yz * (7.0 * zz - 3.0) * s(19)
+                        + _C4[4] * (zz * (35.0 * zz - 30.0) + 3.0) * s(20)
+                        + _C4[5] * xz * (7.0 * zz - 3.0) * s(21)
+                        + _C4[6] * (xx - yy) * (7.0 * zz - 1.0) * s(22)
+                        + _C4[7] * xz * (xx - 3.0 * yy) * s(23)
+                        + _C4[8] * (xx * (xx - 3.0 * yy)
+                                    - yy * (3.0 * xx - yy)) * s(24)
+                    )
+    return result
+
+
 def rgb2sh(rgb: jnp.ndarray) -> jnp.ndarray:
     """RGB in [0,1] -> DC SH coefficient (reference utils/sh_utils.py:114)."""
     return (rgb - 0.5) / _C0
