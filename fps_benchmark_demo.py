@@ -30,6 +30,9 @@ def main(argv=None):
     parser.add_argument("--fovy", type=float, default=20.0)
     parser.add_argument("--timestep", type=int, default=0)
     parser.add_argument("--vis", action="store_true")
+    parser.add_argument("--slab_tile_rows", type=int, default=0,
+                        help="render in tile-row windows (required beyond "
+                             "~1440p on one chip)")
     args = parser.parse_args(argv)
 
     import jax
@@ -42,7 +45,8 @@ def main(argv=None):
 
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     pipe = PipelineConfig(backend=backend, capacity=2 ** 21 + 2 ** 20,
-                          chunk=128 if backend == "pallas" else 16)
+                          chunk=128 if backend == "pallas" else 16,
+                          slab_tile_rows=args.slab_tile_rows)
 
     if args.point_path:
         from gaussianavatars_tpu.models.flame_gaussians import (

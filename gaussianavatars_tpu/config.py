@@ -95,6 +95,10 @@ class PipelineConfig:
     capacity: int = 2 ** 20        # live-instance bucket (re-grown on demand)
     binning: str = "dense"         # 'dense' (multi-level, exact, fast) or
                                    # 'sort' (variable-rect expansion)
+    slab_tile_rows: int = 0        # >0: inference renders in tile-row
+                                   # windows of this many rows (single-chip
+                                   # high-resolution path; 4K exceeds the
+                                   # scalar-prefetch SMEM in one pass)
     level_scale: int = 1           # dense tail-bucket multiplier (grown by
                                    # the loop on a level_overflow probe)
     data_parallel: int = 1         # camera-batch groups over the 'data' axis

@@ -288,16 +288,40 @@ def make_render_fn(model, pipe_cfg: PipelineConfig, width: int, height: int,
             from gaussianavatars_tpu.ops.covariance import build_covariance_3d
 
             cov3d_precomp = build_covariance_3d(scales, quats)
-        out = rasterize(
-            means3d, scales, quats, opac, shs, sh_degree, camera, bg,
+        common = dict(
             capacity=pipe_cfg.capacity, tile_size=pipe_cfg.tile_size,
             chunk=pipe_cfg.chunk, backend=pipe_cfg.backend,
             binning_impl=getattr(pipe_cfg, "binning", "dense"),
-            levels=_dense_levels(pipe_cfg, width, height),
             active=active,
             colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
         )
-        return out.image
+        slab_rows = getattr(pipe_cfg, "slab_tile_rows", 0)
+        if not slab_rows:
+            out = rasterize(
+                means3d, scales, quats, opac, shs, sh_degree, camera, bg,
+                levels=_dense_levels(pipe_cfg, width, height), **common,
+            )
+            return out.image
+        # tile-row windows: one projection, S sequential slab rasterizations
+        # (single-chip high-resolution path — at 4K the full tile grid
+        # exceeds the kernels' scalar-prefetch SMEM budget in one pass)
+        from gaussianavatars_tpu.ops.binning import tile_grid
+        from gaussianavatars_tpu.ops.projection import project_gaussians
+
+        proj = project_gaussians(
+            means3d, scales, quats, opac, shs, sh_degree, camera,
+            colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
+        )
+        _, nty = tile_grid(width, height, pipe_cfg.tile_size)
+        slabs = []
+        for s0 in range(0, nty, slab_rows):
+            rows = min(slab_rows, nty - s0)
+            out = rasterize(
+                means3d, scales, quats, opac, shs, sh_degree, camera, bg,
+                projected=proj, tile_row_start=s0, tile_rows=rows, **common,
+            )
+            slabs.append(out.image)
+        return jnp.concatenate(slabs, axis=1)[:, :height]
 
     return render
 

@@ -223,3 +223,38 @@ def test_multisubject_driver_densify_rebucket(tmp_path):
         np.testing.assert_allclose(
             np.asarray(ms.params.opacity[:ms.n_alive]),
             np.asarray(mb.params.opacity[:mb.n_alive]), atol=1e-6)
+
+
+def test_single_chip_slab_render_matches_full_frame(tmp_path):
+    """pipe.slab_tile_rows: tile-row-windowed inference must reproduce the
+    full-frame render exactly (the single-chip 4K path; on hardware the
+    full 4K tile grid exceeds the kernels' scalar-prefetch SMEM)."""
+    from gaussianavatars_tpu.config import PipelineConfig
+    from gaussianavatars_tpu.models.gaussians import GaussianModel, GaussianParams
+    from gaussianavatars_tpu.train.loop import camera_arrays, make_render_fn
+    from .utils import make_camera, make_scene
+
+    scene = make_scene(n=512, seed=5, sh_degree=1, spread=0.8,
+                       scale_mean=-1.6)
+    model = GaussianModel(1)
+    model.params = GaussianParams(
+        xyz=scene["means3d"], features_dc=scene["shs"][:, :1],
+        features_rest=scene["shs"][:, 1:],
+        scaling=jnp.log(scene["scales"]), rotation=scene["quats"],
+        opacity=jnp.log(scene["opacities"] / (1 - scene["opacities"]))[:, None],
+    )
+    model.n_alive = 512
+    model.active_sh_degree = 1
+
+    p = make_camera(width=96, height=80, dist=5.0)  # 6x5 tiles at 16
+    args = (model.params, {}, None, model.active_mask(), camera_arrays(p),
+            jnp.ones(3), jnp.int32(0))
+    imgs = {}
+    for rows in (0, 2, 3):
+        pipe = PipelineConfig(backend="jnp", capacity=65536, chunk=8,
+                              tile_size=16, slab_tile_rows=rows)
+        imgs[rows] = np.asarray(
+            make_render_fn(model, pipe, 96, 80, 1)(*args))
+    assert imgs[0].shape == (3, 80, 96)
+    np.testing.assert_allclose(imgs[2], imgs[0], atol=1e-6)
+    np.testing.assert_allclose(imgs[3], imgs[0], atol=1e-6)
