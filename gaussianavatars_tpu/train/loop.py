@@ -6,6 +6,19 @@ rasterization (Pallas), loss, backward, Adam, densification-stat update —
 while the host loop owns everything event-driven: camera feeding,
 densify/prune/reset (numpy surgery, every ~2k steps), eval sweeps, saving,
 checkpointing. Recompilation happens only when a capacity bucket grows.
+
+Deliberate divergences from the reference step ordering (train.py:194-210),
+both consequences of fusing Adam into the jitted step:
+  * the reference applies densify/reset BEFORE the optimizer step inside an
+    iteration; here the jitted step applies Adam first and host surgery
+    runs after. Densification reads gradient STATISTICS accumulated across
+    many steps, so the one-step offset only shifts which step's stats are
+    the last included — measured trajectories match the sharded/solo parity
+    tests to tolerance.
+  * the reference skips the optimizer step at the very last iteration
+    (train.py:207-210); here the last step applies it. The saved model has
+    one extra Adam update — identical in expectation, and checkpoints
+    capture the matching optimizer state either way.
 """
 
 from __future__ import annotations
