@@ -18,20 +18,39 @@ import numpy as np
 from gaussianavatars_tpu.data.cameras import Camera
 
 
+_CACHE_LOCK = threading.Lock()
+_IMAGE_CACHE: dict = {}     # (path, w, h, bg-bytes) -> [3,H,W] f32
+_CACHE_BYTES = [0]
+_CACHE_BUDGET = int(float(__import__("os").environ.get(
+    "GA_IMAGE_CACHE_GB", "4")) * (1 << 30))
+
+
 def load_camera_image(cam: Camera, resolution_arg: int = -1,
                       resolution_scale: float = 1.0) -> np.ndarray:
     """Decode + composite + resize one view. Returns [3, H, W] float32.
 
     Mirrors reference scene/__init__.py:38-63: RGBA images composite onto
     the camera background; resize follows the 1600px auto-cap policy.
+    Decoded views are cached in host RAM (the reference keeps every
+    original_image resident, scene/cameras.py) under a byte budget
+    (GA_IMAGE_CACHE_GB, default 4) with whole-cache reset on overflow —
+    epochs beyond the first stop paying PNG decode entirely when the
+    dataset fits.
     """
     from PIL import Image, ImageFile
 
     ImageFile.LOAD_TRUNCATED_IMAGES = True
 
     w, h = cam.resolution(resolution_arg, resolution_scale)
+    key = (cam.image_path, w, h, cam.bg.tobytes())
+    with _CACHE_LOCK:
+        hit = _IMAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
     with Image.open(cam.image_path) as im:
-        im = im.resize((w, h))
+        if im.size != (w, h):
+            im = im.resize((w, h))
         arr = np.asarray(im).astype(np.float32) / 255.0
 
     if arr.ndim == 2:
@@ -39,7 +58,16 @@ def load_camera_image(cam: Camera, resolution_arg: int = -1,
     if arr.shape[-1] == 4:
         rgb, alpha = arr[..., :3], arr[..., 3:4]
         arr = rgb * alpha + cam.bg[None, None, :] * (1.0 - alpha)
-    return np.transpose(arr[..., :3], (2, 0, 1)).copy()
+    out = np.transpose(arr[..., :3], (2, 0, 1)).copy()
+    out.setflags(write=False)
+    with _CACHE_LOCK:
+        if _CACHE_BYTES[0] + out.nbytes > _CACHE_BUDGET:
+            _IMAGE_CACHE.clear()
+            _CACHE_BYTES[0] = 0
+        if out.nbytes <= _CACHE_BUDGET:
+            _IMAGE_CACHE[key] = out
+            _CACHE_BYTES[0] += out.nbytes
+    return out
 
 
 class CameraLoader:
