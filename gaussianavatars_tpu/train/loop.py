@@ -827,11 +827,14 @@ def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
             )
             img = jnp.clip(img, 0.0, 1.0)
             gt_j = jnp.clip(jnp.asarray(gt), 0.0, 1.0)
-            l1s.append(float(l1_metric(img, gt_j)))
-            psnrs.append(float(psnr(img, gt_j)[0]))
-            ssims.append(float(ssim_metric(img, gt_j)))
+            # keep metrics as device scalars; ONE host fetch per split
+            # below (each synchronous fetch pays a full round trip on
+            # tunneled frontends)
+            l1s.append(l1_metric(img, gt_j))
+            psnrs.append(psnr(img, gt_j)[0])
+            ssims.append(ssim_metric(img, gt_j))
             if lpips_fn is not None:
-                lpipses.append(float(lpips_fn(img, gt_j)[0]))
+                lpipses.append(lpips_fn(img, gt_j)[0])
             if tb_writer is not None and idx % vis_every == 0:
                 from gaussianavatars_tpu.utils.image import error_map
 
@@ -843,11 +846,14 @@ def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
                     error_map(np.asarray(img), np.asarray(gt_j))[None],
                     global_step=iteration)
                 vis_ct += 1
+        l1s, psnrs, ssims = (
+            np.asarray(jnp.stack(x)) for x in (l1s, psnrs, ssims))
         results[split] = {
             "l1_loss": float(np.mean(l1s)),
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)),
         }
         if lpipses:
-            results[split]["lpips"] = float(np.mean(lpipses))
+            results[split]["lpips"] = float(
+                np.asarray(jnp.stack(lpipses)).mean())
     return results
