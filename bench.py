@@ -132,6 +132,49 @@ def main():
         "vs_baseline": round(10.0 / best_ms, 3),
     }))
 
+    # tertiary: the FULL training step (render + reference loss stack
+    # incl. SSIM + backward + Adam) at the same config
+    from gaussianavatars_tpu.config import OptimizationConfig
+    from gaussianavatars_tpu.train import optim
+    from gaussianavatars_tpu.train.losses import compute_losses
+
+    opt_cfg = OptimizationConfig()
+    gt = jnp.asarray(
+        np.random.default_rng(1).random((3, HEIGHT, WIDTH)).astype(np.float32))
+    mu, nu, count = optim.init(scene)
+    lrs = jax.tree.map(lambda _: 1e-3, scene)
+
+    @jax.jit
+    def full_step(scene, mu, nu, count):
+        def loss(scene):
+            out = raster(scene)
+            total, _ = compute_losses(
+                out.image, gt, out.visibility, scene["means3d"],
+                jnp.log(scene["scales"]), None, opt_cfg, bound=False,
+            )
+            return total
+
+        grads = jax.grad(loss)(scene)
+        return optim.apply(scene, grads, mu, nu, count, lrs)
+
+    scene2, mu, nu, count = full_step(scene, mu, nu, count)
+    jax.block_until_ready(scene2["means3d"])
+    best_ms = float("inf")
+    for _ in range(N_ROUNDS):
+        t0 = time.perf_counter()
+        s, m, n2, c = scene, mu, nu, count
+        for _ in range(N_ITERS // 5):
+            s, m, n2, c = full_step(s, m, n2, c)
+        jax.block_until_ready(s["means3d"])
+        dt = (time.perf_counter() - t0) / (N_ITERS // 5) * 1e3
+        best_ms = min(best_ms, dt)
+    print(json.dumps({
+        "metric": f"train_step_ms_{WIDTH}x{HEIGHT}_100k",
+        "value": round(best_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(12.0 / best_ms, 3),
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -24,24 +24,32 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
         dtype=np.float32,
     )
     g /= g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return w2d
+    return g
 
 
 def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 2D conv with same padding. img: [C, H, W]."""
+    """Depthwise gaussian blur with same padding. img: [C, H, W].
+
+    The 11x11 gaussian window is an outer product, so the filter runs as
+    two 1D passes (11+11 taps instead of 121): TPU depthwise convs run on
+    the VPU, making tap count the direct cost — this is most of a full
+    training step's SSIM time.
+    """
     c = img.shape[0]
     k = window.shape[0]
-    lhs = img[None]  # [1, C, H, W]
-    rhs = jnp.broadcast_to(window[None, None], (c, 1, k, k))
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs,
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,  # TPU conv defaults to bf16
-    )
+    out = img[None]  # [1, C, H, W]
+    col = jnp.broadcast_to(window[None, None, :, None], (c, 1, k, 1))
+    row = jnp.broadcast_to(window[None, None, None, :], (c, 1, 1, k))
+    for rhs, pad in ((col, [(k // 2, k // 2), (0, 0)]),
+                     (row, [(0, 0), (k // 2, k // 2)])):
+        out = jax.lax.conv_general_dilated(
+            out, rhs,
+            window_strides=(1, 1),
+            padding=pad,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,  # TPU conv defaults to bf16
+        )
     return out[0]
 
 
