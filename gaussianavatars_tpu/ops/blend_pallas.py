@@ -30,7 +30,6 @@ Layouts (shared with ops/instance_pack.py):
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +51,6 @@ from gaussianavatars_tpu.ops.instance_pack import (
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
-LOG_T_EPS = math.log(T_EPS)
 
 
 def _pad_pack(inst, k_pad):
