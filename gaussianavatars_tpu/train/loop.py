@@ -491,7 +491,8 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             k[2:]: jnp.asarray(v) for k, v in data.items()
             if k.startswith("f_")
         }
-        model.merge_flame_trainable(flame_tr)
+        if bound:
+            model.merge_flame_trainable(flame_tr)
         combined = {"gauss": model.params, "flame": flame_tr}
         mu = {"gauss": state_g.mu, "flame": jax.tree.map(jnp.zeros_like, flame_tr)}
         nu = {"gauss": state_g.nu, "flame": jax.tree.map(jnp.zeros_like, flame_tr)}

@@ -97,6 +97,40 @@ def test_unbound_blender_training(tmp_path):
     assert m2.n_alive == model.n_alive
 
 
+def test_unbound_checkpoint_resume(tmp_path):
+    """Unbound models must resume from chkpnt npz (regression: the resume
+    path called the FLAME-only merge_flame_trainable unconditionally)."""
+    root = make_blender_dataset(str(tmp_path / "blender"))
+
+    from gaussianavatars_tpu.config import (
+        ModelConfig, OptimizationConfig, PipelineConfig,
+    )
+    from gaussianavatars_tpu.train.loop import training
+    import gaussianavatars_tpu.utils.ply as plyio
+
+    rng = np.random.default_rng(1)
+    xyz = rng.random((400, 3)) * 2.6 - 1.3
+    plyio.store_point_cloud(os.path.join(root, "points3d.ply"), xyz,
+                            rng.random((400, 3)) * 255)
+
+    out = str(tmp_path / "out")
+    model_cfg = ModelConfig(source_path=root, model_path=out,
+                            bind_to_mesh=False, eval=True, sh_degree=1,
+                            white_background=True)
+    opt_cfg = OptimizationConfig(
+        iterations=5, densify_from_iter=100, densify_until_iter=0,
+        opacity_reset_interval=1000, position_lr_max_steps=5,
+    )
+    pipe_cfg = PipelineConfig(backend="jnp", capacity=1 << 17, chunk=16)
+    training(model_cfg, opt_cfg, pipe_cfg, checkpoint_iterations={3})
+    ckpt = os.path.join(out, "chkpnt3.npz")
+    assert os.path.exists(ckpt)
+    model, state, info = training(model_cfg, opt_cfg, pipe_cfg,
+                                  start_checkpoint=ckpt)
+    assert model.binding is None
+    assert int(state.count) == 5
+
+
 def test_colmap_binary_parsers(tmp_path):
     """Write COLMAP binary files per the format spec and parse them back."""
     from gaussianavatars_tpu.data.colmap import (
