@@ -77,20 +77,28 @@ def main():
         )
 
     @jax.jit
-    def render(scene):
+    def render(salt, scene):
+        # the salt folds through means3d so tunneled frontends can never
+        # serve repeated dispatches from a cache (verified against xplane
+        # module times)
+        scene = dict(scene, means3d=scene["means3d"] + salt)
         out = raster(scene)
         return out.image, out.instance_total, out.rect_overflow
 
     @jax.jit
-    def train_like(scene):
+    def train_like(salt, scene):
         """Forward + full backward (the BASELINE.md throughput shape)."""
+        scene = dict(scene, means3d=scene["means3d"] + salt)
+
         def loss(scene):
             return jnp.sum(raster(scene).image)
 
         return jax.grad(loss)(scene)["means3d"][0, 0]
 
+    salts = [jnp.float32(1e-7 * (i + 1)) for i in range(N_ITERS)]
+
     # warmup + sanity
-    img, total, overflow = render(scene)
+    img, total, overflow = render(salts[0], scene)
     jax.block_until_ready(img)
     total = int(total)
     assert total <= capacity, f"instance overflow: {total} > {capacity}"
@@ -99,8 +107,8 @@ def main():
     best_fps = 0.0
     for _ in range(N_ROUNDS):
         t0 = time.perf_counter()
-        for _ in range(N_ITERS):
-            img, _, _ = render(scene)
+        for i in range(N_ITERS):
+            img, _, _ = render(salts[i], scene)
         jax.block_until_ready(img)
         dt = time.perf_counter() - t0
         best_fps = max(best_fps, N_ITERS / dt)
@@ -115,13 +123,13 @@ def main():
 
     # secondary metric: fwd+bwd step time (what training actually pays;
     # the CUDA-class nominal here is ~10 ms/step at this config)
-    g = train_like(scene)
+    g = train_like(salts[0], scene)
     jax.block_until_ready(g)
     best_ms = float("inf")
     for _ in range(N_ROUNDS):
         t0 = time.perf_counter()
-        for _ in range(N_ITERS // 5):
-            g = train_like(scene)
+        for i in range(N_ITERS // 5):
+            g = train_like(salts[i], scene)
         jax.block_until_ready(g)
         dt = (time.perf_counter() - t0) / (N_ITERS // 5) * 1e3
         best_ms = min(best_ms, dt)
