@@ -270,12 +270,15 @@ class LocalViewerCore:
         for i, fr in enumerate(frames):
             self.apply_frame(fr)
             self.save_image(os.path.join(out_dir, f"{i:05d}.png"))
-        subprocess.run(
-            ["ffmpeg", "-y", "-framerate", "25", "-i",
-             f"{out_dir}/%05d.png", "-pix_fmt", "yuv420p",
-             f"{out_dir}/trajectory.mp4"],
-            check=False, capture_output=True,
-        )
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-framerate", "25", "-i",
+                 f"{out_dir}/%05d.png", "-pix_fmt", "yuv420p",
+                 f"{out_dir}/trajectory.mp4"],
+                check=False, capture_output=True,
+            )
+        except FileNotFoundError:
+            pass  # no ffmpeg: the PNG frames remain the artifact
 
 
 def main(argv=None):
