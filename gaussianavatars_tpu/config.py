@@ -59,6 +59,9 @@ class ModelConfig:
     images: str = "images"
     resolution: int = -1
     white_background: bool = False
+    data_device: str = "tpu"    # accepted for reference-CLI
+                                 # compatibility; images are host
+                                 # arrays fed per step either way
     eval: bool = False
     bind_to_mesh: bool = False
     disable_flame_static_offset: bool = False
