@@ -37,10 +37,6 @@ def load_camera_image(cam: Camera, resolution_arg: int = -1,
     epochs beyond the first stop paying PNG decode entirely when the
     dataset fits.
     """
-    from PIL import Image, ImageFile
-
-    ImageFile.LOAD_TRUNCATED_IMAGES = True
-
     w, h = cam.resolution(resolution_arg, resolution_scale)
     key = (cam.image_path, w, h, cam.bg.tobytes())
     with _CACHE_LOCK:
@@ -48,17 +44,34 @@ def load_camera_image(cam: Camera, resolution_arg: int = -1,
     if hit is not None:
         return hit
 
-    with Image.open(cam.image_path) as im:
-        if im.size != (w, h):
-            im = im.resize((w, h))
-        arr = np.asarray(im).astype(np.float32) / 255.0
+    # native path: libpng/libjpeg decode + CHW compositing with the GIL
+    # released (gaussianavatars_tpu/native) — loader threads decode in
+    # true parallel. PIL handles resizes (rare: the auto-cap policy) and
+    # exotic formats.
+    out = None
+    if (w, h) == (cam.width, cam.height):
+        from gaussianavatars_tpu import native
 
-    if arr.ndim == 2:
-        arr = arr[..., None].repeat(3, axis=-1)
-    if arr.shape[-1] == 4:
-        rgb, alpha = arr[..., :3], arr[..., 3:4]
-        arr = rgb * alpha + cam.bg[None, None, :] * (1.0 - alpha)
-    out = np.transpose(arr[..., :3], (2, 0, 1)).copy()
+        raw = native.decode(cam.image_path)
+        if raw is not None and raw.shape[:2] == (h, w):
+            out = native.to_chw_f32(raw, np.asarray(cam.bg, np.float32))
+
+    if out is None:
+        from PIL import Image, ImageFile
+
+        ImageFile.LOAD_TRUNCATED_IMAGES = True
+
+        with Image.open(cam.image_path) as im:
+            if im.size != (w, h):
+                im = im.resize((w, h))
+            arr = np.asarray(im).astype(np.float32) / 255.0
+
+        if arr.ndim == 2:
+            arr = arr[..., None].repeat(3, axis=-1)
+        if arr.shape[-1] == 4:
+            rgb, alpha = arr[..., :3], arr[..., 3:4]
+            arr = rgb * alpha + cam.bg[None, None, :] * (1.0 - alpha)
+        out = np.transpose(arr[..., :3], (2, 0, 1)).copy()
     out.setflags(write=False)
     with _CACHE_LOCK:
         if _CACHE_BYTES[0] + out.nbytes > _CACHE_BUDGET:

@@ -114,3 +114,44 @@ def test_error_map_output():
     m = error_map(a, b)
     assert m.shape == (3, 16, 16)
     assert m.min() >= 0.0 and m.max() <= 1.0
+
+
+def test_native_imgio_matches_pil(tmp_path):
+    """The C++ loader path (libpng/libjpeg + CHW compositing) must be
+    bitwise-identical to the PIL path it replaces; skip when no compiler
+    can build it."""
+    from PIL import Image
+
+    from gaussianavatars_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native imgio unavailable (no compiler/libs)")
+
+    rng = np.random.default_rng(3)
+    cases = {}
+    rgba = (rng.random((40, 48, 4)) * 255).astype(np.uint8)
+    Image.fromarray(rgba, "RGBA").save(tmp_path / "a.png")
+    cases["a.png"] = None
+    gray = (rng.random((40, 48)) * 255).astype(np.uint8)
+    Image.fromarray(gray, "L").save(tmp_path / "g.png")
+    cases["g.png"] = None
+    rgb = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    Image.fromarray(rgb).save(tmp_path / "b.jpg", quality=95)
+    cases["b.jpg"] = None
+
+    bg = np.array([0.25, 0.5, 1.0], np.float32)
+    for name in cases:
+        p = str(tmp_path / name)
+        raw = native.decode(p)
+        assert raw is not None
+        out_n = native.to_chw_f32(raw, bg)
+        with Image.open(p) as im:
+            arr = np.asarray(im).astype(np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[..., None].repeat(3, axis=-1)
+        if arr.shape[-1] == 4:
+            arr = arr[..., :3] * arr[..., 3:4] + bg * (1 - arr[..., 3:4])
+        out_p = np.transpose(arr[..., :3], (2, 0, 1))
+        np.testing.assert_array_equal(out_n, out_p, err_msg=name)
