@@ -295,3 +295,70 @@ class TestDenseBinning:
         with pytest.raises(AssertionError, match="cover the full tile grid"):
             tile_render(scene, cam, sh_degree=1, binning_impl="dense",
                         levels=((1, 1, None), (2, 2, 4)))
+
+    def test_dense_rank_live_counts_match_stream(self):
+        """rank_live_counts (which drives the gather-based gradient
+        reduction) must equal the histogram of live stream ranks."""
+        from gaussianavatars_tpu.ops.binning_dense import bin_gaussians_dense
+        from gaussianavatars_tpu.ops.projection import project_gaussians
+
+        cam = make_camera(width=64, height=48, fovx=0.8, dist=3.5)
+        scene = make_scene(n=300, seed=11, sh_degree=1, spread=1.0)
+        proj = project_gaussians(
+            scene["means3d"], scene["scales"], scene["quats"],
+            scene["opacities"], scene["shs"], 1, cam)
+        b = bin_gaussians_dense(
+            proj.means2d, proj.depths, proj.radii, proj.valid,
+            cam.width, cam.height, 16,
+            means2d_cull=proj.means2d, r2_max=proj.r2_max)
+        ranks = np.asarray(b.ranks)
+        valid = np.asarray(b.instance_valid)
+        hist = np.bincount(ranks[valid], minlength=300)
+        np.testing.assert_array_equal(
+            np.asarray(b.rank_live_counts), hist)
+        assert hist.sum() == int(b.total)
+
+    def test_gather_perm_reduction_paths_agree(self):
+        """The pair-sort + segmented-scan cotangent reduction must equal
+        the scatter-add fallback exactly (same additions, different
+        order -> allclose)."""
+        from gaussianavatars_tpu.ops.instance_pack import (
+            gather_instances_perm,
+        )
+
+        rng = np.random.default_rng(5)
+        n, cap = 50, 256
+        pack = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+        counts = rng.integers(0, 9, n).astype(np.int32)
+        total = int(counts.sum())
+        assert total <= cap
+        ranks = np.repeat(np.arange(n), counts)
+        # stream order: tile-major (here: shuffled segments), live prefix
+        order = rng.permutation(total)
+        ranks_stream = np.full(cap, 0, np.int32)
+        ranks_stream[:total] = ranks[order]
+        valid = np.zeros(cap, bool)
+        valid[:total] = True
+        # counts must describe the live stream
+        counts_live = np.bincount(ranks_stream[:total], minlength=n)
+
+        # the contract: grads past the live prefix are exact zeros (the
+        # blend backward zero-fills past coverage) and pack rows 9:16 are
+        # structural zero padding (the fast reduction only scans the 9
+        # live rows)
+        g = rng.normal(size=(16, cap)).astype(np.float32)
+        g[:, total:] = 0.0
+        g[9:] = 0.0
+        g = jnp.asarray(g)
+
+        def run(rank_counts):
+            def f(pk):
+                out = gather_instances_perm(
+                    pk, jnp.asarray(ranks_stream), jnp.asarray(valid),
+                    cap, rank_counts, 16)
+                return jnp.sum(out * g)
+            return np.asarray(jax.grad(f)(pack))
+
+        d_scatter = run(None)
+        d_gather = run(jnp.asarray(counts_live))
+        np.testing.assert_allclose(d_gather, d_scatter, atol=1e-5)
