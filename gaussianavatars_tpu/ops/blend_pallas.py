@@ -117,6 +117,16 @@ def _shift_down_one(x, fill):
 
 _MM_PRECISION = jax.lax.Precision.HIGHEST  # see profile_blend A/B
 
+_ABLATE = frozenset()  # dev-only cost attribution: {'scan2', 'moments',
+                       # 'dalpha'} disable backward pieces at TRACE time
+                       # (results become wrong; timing-only)
+
+NSLOTS = 4  # chunk-DMA pipeline depth: reads prefetch NSLOTS-1 chunks
+            # ahead and gradient writes drain NSLOTS chunks behind.
+            # Measured equal to depth 2 on the canonical bench (the
+            # kernels are not chunk-DMA-latency-bound); kept parameterized
+            # for configs with faster per-chunk compute
+
 POWER_FUZZ = 1e-4  # the quadratic form is mathematically <= 0 (PD conic);
                    # this absorbs f32 rounding of the MXU evaluation so the
                    # acceptance test never rejects a real peak pixel
@@ -226,21 +236,24 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
                 sems.at[slot],
             )
 
-        @pl.when(astart < end)
-        def _():
-            chunk_dma(astart, (astart // chunk) % 2).start()
+        for k in range(NSLOTS - 1):
+            c = astart + k * chunk
+
+            @pl.when(c < end)
+            def _(c=c):
+                chunk_dma(c, (c // chunk) % NSLOTS).start()
 
         def cond(offset):
             return (offset < end) & (jnp.max(t_all[...]) >= T_EPS)
 
         def body(offset):
-            slot = (offset // chunk) % 2
-            nxt = offset + chunk
+            slot = (offset // chunk) % NSLOTS
+            nxt = offset + (NSLOTS - 1) * chunk
 
-            # prefetch the next chunk while this one computes
+            # keep NSLOTS-1 chunk reads in flight
             @pl.when(nxt < end)
             def _():
-                chunk_dma(nxt, 1 - slot).start()
+                chunk_dma(nxt, (nxt // chunk) % NSLOTS).start()
 
             chunk_dma(offset, slot).wait()
             data_t = scratch[slot].T                        # (CH, 16)
@@ -272,10 +285,13 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
 
         final = jax.lax.while_loop(cond, body, astart)
 
-        # an early-out may leave one prefetched DMA in flight; absorb it
-        @pl.when(final < end)
-        def _():
-            chunk_dma(final, (final // chunk) % 2).wait()
+        # an early-out may leave prefetched DMAs in flight; absorb them
+        for k in range(NSLOTS - 1):
+            c = final + k * chunk
+
+            @pl.when(c < end)
+            def _(c=c):
+                chunk_dma(c, (c // chunk) % NSLOTS).wait()
 
         out_ref[lt, 0:3, :] = color_acc[...]
         out_ref[lt, 3:4, :] = t_app[...]
@@ -315,8 +331,8 @@ def blend_image_fwd_pallas(
                 (tpb, 4, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, PACK_ROWS, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((NSLOTS, PACK_ROWS, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((NSLOTS,)),
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((3, p), jnp.float32),
@@ -393,9 +409,12 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             sems.at[slot],
         )
 
-    @pl.when(astart < end)
-    def _():
-        read_dma(astart, (astart // chunk) % 2).start()
+    for k in range(NSLOTS - 1):
+        c = astart + k * chunk
+
+        @pl.when(c < end)
+        def _(c=c):
+            read_dma(c, (c // chunk) % NSLOTS).start()
 
     def boundary_rd():
         # RMW read of the chunk shared with the previous tile; that tile
@@ -420,11 +439,12 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
 
     def write_grads(offset, accumulate):
         """Issue the gradient write for the chunk containing `offset`
-        WITHOUT waiting (the wait happens two chunks later when the slot is
-        reused, and all writes drain before the program ends). Shared
-        boundary chunks read-modify-write — race-free because the Mosaic
-        grid runs sequentially and the previous tile drained its writes."""
-        slot = (offset // chunk) % 2
+        WITHOUT waiting (the wait happens NSLOTS chunks later when the
+        slot is reused, and all writes drain before the program ends).
+        Shared boundary chunks read-modify-write — race-free because the
+        Mosaic grid runs sequentially and the previous tile drained its
+        writes."""
+        slot = (offset // chunk) % NSLOTS
 
         @pl.when(accumulate)
         def _():
@@ -434,24 +454,24 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         grad_write_dma(offset, slot).start()
 
     def wait_prior_write(offset):
-        """Before filling a gscratch slot, absorb the write issued two
-        chunks earlier on the same slot."""
-        prev = offset - 2 * chunk
+        """Before filling a gscratch slot, absorb the write issued
+        NSLOTS chunks earlier on the same slot."""
+        prev = offset - NSLOTS * chunk
 
         @pl.when(prev >= astart)
         def _():
-            grad_write_dma(prev, (prev // chunk) % 2).wait()
+            grad_write_dma(prev, (prev // chunk) % NSLOTS).wait()
 
     def cond(offset):
         return (offset < end) & (jnp.max(t_all[...]) >= T_EPS)
 
     def body(offset):
-        slot = (offset // chunk) % 2
-        nxt = offset + chunk
+        slot = (offset // chunk) % NSLOTS
+        nxt = offset + (NSLOTS - 1) * chunk
 
         @pl.when(nxt < end)
         def _():
-            read_dma(nxt, 1 - slot).start()
+            read_dma(nxt, (nxt // chunk) % NSLOTS).start()
 
         read_dma(offset, slot).wait()
         data_t = scratch[slot].T                             # (CH, 16)
@@ -473,7 +493,10 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             precision=_MM_PRECISION,
         )                                                     # (CH, P)
         dw = cg * weight
-        s_incl = s_prefix[...] + _cumsum_sublanes(dw, chunk)  # (CH, P)
+        if "scan2" in _ABLATE:
+            s_incl = s_prefix[...] + dw
+        else:
+            s_incl = s_prefix[...] + _cumsum_sublanes(dw, chunk)
 
         inv_om = 1.0 / (1.0 - alpha)
         d_alpha = jnp.where(
@@ -482,6 +505,8 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             0.0,
         )
         d_alpha = jnp.where(unclamped, d_alpha, 0.0)
+        if "dalpha" in _ABLATE:
+            d_alpha = alpha
         d_power = d_alpha * alpha
         d_op = jnp.where(unclamped & mask, d_alpha, 0.0) * expw
 
@@ -490,12 +515,15 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         # replaces five (CH, P) elementwise products plus five reductions:
         #   sum_p d_power * dx   = mx*S0 - Sx            (dx = mx - px)
         #   sum_p d_power * dx^2 = mx^2*S0 - 2mx*Sx + Sxx  etc.
-        moms = jax.lax.dot_general(
-            d_power, basis,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION,
-        )                                                     # (CH, 8)
+        if "moments" in _ABLATE:
+            moms = jnp.broadcast_to(d_power[:, 0:1], (chunk, 8)) * 0.0
+        else:
+            moms = jax.lax.dot_general(
+                d_power, basis,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MM_PRECISION,
+            )                                                 # (CH, 8)
         s0, sx, sy = moms[:, 0:1], moms[:, 1:2], moms[:, 2:3]
         sxx, sxy, syy = moms[:, 3:4], moms[:, 4:5], moms[:, 5:6]
         ex = mx * s0 - sx                                     # sum d_power*dx
@@ -519,7 +547,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             axis=1,
         )                                                     # (CH, 16)
         wait_prior_write(offset)
-        wslot = (offset // chunk) % 2
+        wslot = (offset // chunk) % NSLOTS
         gscratch[wslot] = grads_t.T                           # (16, CH)
 
         write_grads(offset, offset < start)
@@ -532,10 +560,13 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
 
     offset = jax.lax.while_loop(cond, body, astart)
 
-    # absorb a possible in-flight prefetch after an early-out
-    @pl.when(offset < end)
-    def _():
-        read_dma(offset, (offset // chunk) % 2).wait()
+    # absorb possible in-flight prefetches after an early-out
+    for k in range(NSLOTS - 1):
+        c = offset + k * chunk
+
+        @pl.when(c < end)
+        def _(c=c):
+            read_dma(c, (c // chunk) % NSLOTS).wait()
 
     # zero-fill grads for chunks skipped by the early-out (accumulating
     # into a boundary chunk the previous tile already wrote)
@@ -544,7 +575,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
 
     def zbody(off):
         wait_prior_write(off)
-        gscratch[(off // chunk) % 2] = jnp.zeros(
+        gscratch[(off // chunk) % NSLOTS] = jnp.zeros(
             (PACK_ROWS, chunk), jnp.float32
         )
         write_grads(off, off < start)
@@ -552,14 +583,14 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
 
     zend = jax.lax.while_loop(zcond, zbody, offset)
 
-    # drain the (up to two) outstanding gradient writes before the next
-    # tile can read-modify-write the shared boundary chunk
-    for back in (1, 2):
+    # drain the outstanding gradient writes before the next tile can
+    # read-modify-write the shared boundary chunk
+    for back in range(1, NSLOTS + 1):
         prev = zend - back * chunk
 
         @pl.when((prev >= astart) & (prev < end))
         def _(prev=prev):
-            grad_write_dma(prev, (prev // chunk) % 2).wait()
+            grad_write_dma(prev, (prev // chunk) % NSLOTS).wait()
 
 
 def blend_image_bwd_pallas(
@@ -615,12 +646,12 @@ def blend_image_bwd_pallas(
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, PACK_ROWS, chunk), jnp.float32),
-                pltpu.VMEM((2, PACK_ROWS, chunk), jnp.float32),
+                pltpu.VMEM((NSLOTS, PACK_ROWS, chunk), jnp.float32),
+                pltpu.VMEM((NSLOTS, PACK_ROWS, chunk), jnp.float32),
                 pltpu.VMEM((PACK_ROWS, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((NSLOTS,)),
                 pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((NSLOTS,)),
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
