@@ -361,26 +361,39 @@ def blend_image_fwd_pallas(
 
 def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
                 scratch, gscratch, accscratch, sems, gsem, wsems,
-                t_all, t_app, s_prefix, basis_scr, *,
+                t_all, t_app, s_prefix, basis_scr, basc_scr, *,
                 tile_size, chunk, tpb):
     p = tile_size * tile_size
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         basis_scr[...] = _pix_basis(tile_size, p)
+        # tile-center-shifted copy: every entry is an integer in
+        # [-256, 256], EXACTLY representable in bf16 — so the moments
+        # matmul can run as two DEFAULT-precision passes over a hi/lo
+        # split of d_power with f32-grade accuracy (see _bwd_tile)
+        c = jnp.float32(tile_size // 2)
+        b = basis_scr[...]
+        px = b[:, 1:2] - c
+        py = b[:, 2:3] - c
+        basc_scr[...] = jnp.concatenate(
+            [b[:, 0:1], px, py, px * px, px * py, py * py,
+             jnp.zeros((p, 2), jnp.float32)], axis=1)
 
     basis = basis_scr[...]
+    basis_c = basc_scr[...]
 
     for lt in range(tpb):
         _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref,
                   grad_hbm, scratch, gscratch, accscratch, sems, gsem,
-                  wsems, t_all, t_app, s_prefix, basis,
+                  wsems, t_all, t_app, s_prefix, basis, basis_c,
                   tile_size=tile_size, chunk=chunk, tpb=tpb)
 
 
 def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
               scratch, gscratch, accscratch, sems, gsem, wsems,
-              t_all, t_app, s_prefix, basis, *, tile_size, chunk, tpb):
+              t_all, t_app, s_prefix, basis, basis_c, *,
+              tile_size, chunk, tpb):
     p = tile_size * tile_size
     t = pl.program_id(0) * tpb + lt
     start = ranges_ref[t, 0]
@@ -517,6 +530,22 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         #   sum_p d_power * dx^2 = mx^2*S0 - 2mx*Sx + Sxx  etc.
         if "moments" in _ABLATE:
             moms = jnp.broadcast_to(d_power[:, 0:1], (chunk, 8)) * 0.0
+            mxs, mys = mx, my
+        elif tile_size <= 32:
+            # two DEFAULT (bf16) passes over a hi/lo split of d_power
+            # against the tile-center-shifted basis whose entries are
+            # bf16-EXACT integers: same accuracy as a 6-pass HIGHEST
+            # matmul at 1/3 the MXU cost. The moment algebra below is
+            # form-invariant under the shift (dx = (mx-c) - (px-c)).
+            d_hi = d_power.astype(jnp.bfloat16).astype(jnp.float32)
+            d_lo = d_power - d_hi
+            dot = lambda a: jax.lax.dot_general(
+                a, basis_c, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            moms = dot(d_hi) + dot(d_lo)                      # (CH, 8)
+            c = jnp.float32(tile_size // 2)
+            mxs, mys = mx - c, my - c
         else:
             moms = jax.lax.dot_general(
                 d_power, basis,
@@ -524,13 +553,14 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
                 preferred_element_type=jnp.float32,
                 precision=_MM_PRECISION,
             )                                                 # (CH, 8)
+            mxs, mys = mx, my
         s0, sx, sy = moms[:, 0:1], moms[:, 1:2], moms[:, 2:3]
         sxx, sxy, syy = moms[:, 3:4], moms[:, 4:5], moms[:, 5:6]
-        ex = mx * s0 - sx                                     # sum d_power*dx
-        ey = my * s0 - sy
-        exx = mx * mx * s0 - 2.0 * mx * sx + sxx
-        exy = mx * my * s0 - mx * sy - my * sx + sxy
-        eyy = my * my * s0 - 2.0 * my * sy + syy
+        ex = mxs * s0 - sx                                    # sum d_power*dx
+        ey = mys * s0 - sy
+        exx = mxs * mxs * s0 - 2.0 * mxs * sx + sxx
+        exy = mxs * mys * s0 - mxs * sy - mys * sx + sxy
+        eyy = mys * mys * s0 - 2.0 * mys * sy + syy
 
         dcol = jax.lax.dot_general(
             weight, g_color,
@@ -655,6 +685,7 @@ def blend_image_bwd_pallas(
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
+                pltpu.VMEM((p, 8), jnp.float32),
                 pltpu.VMEM((p, 8), jnp.float32),
             ],
         ),
