@@ -194,6 +194,20 @@ def _chunk_geometry_t(data_t, basis, tx, ty, row_ok):
     return alpha, expw, unclamped, (mx, my, cxx, cxy, cyy)
 
 
+def _split_dot(a, b, dims):
+    """bf16x3 dot: hi/lo split of BOTH operands, three DEFAULT passes
+    (error ~2^-17 relative vs 6-pass HIGHEST at half the MXU cost)."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dot(a_hi, b_hi) + dot(a_lo, b_hi) + dot(a_hi, b_lo)
+
+
 def _row_mask(offset, start, end, chunk):
     rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + offset
     return (rows >= start) & (rows < end)
@@ -268,12 +282,7 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
             weight = jnp.where(mask, alpha * cp_excl, 0.0) * t_app[...]
 
             colors_t = data_t[:, ROW_R:ROW_B + 1]           # (CH, 3)
-            contrib = jax.lax.dot_general(
-                colors_t, weight,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MM_PRECISION,
-            )                                                # (3, P)
+            contrib = _split_dot(colors_t, weight, (((0,), (0,))))
             color_acc[...] += contrib
             t_all[...] *= cp[chunk - 1:chunk, :]
             # applied product = cp at the last masked row = min over masked
@@ -499,12 +508,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         weight = jnp.where(mask, alpha * t_before, 0.0)
 
         colors_t = data_t[:, ROW_R:ROW_B + 1]                # (CH, 3)
-        cg = jax.lax.dot_general(
-            colors_t, g_color,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION,
-        )                                                     # (CH, P)
+        cg = _split_dot(colors_t, g_color, (((1,), (0,))))    # (CH, P)
         dw = cg * weight
         if "scan2" in _ABLATE:
             s_incl = s_prefix[...] + dw
@@ -562,12 +566,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         exy = mxs * mys * s0 - mxs * sy - mys * sx + sxy
         eyy = mys * mys * s0 - 2.0 * mys * sy + syy
 
-        dcol = jax.lax.dot_general(
-            weight, g_color,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION,
-        )                                                     # (CH, 3)
+        dcol = _split_dot(weight, g_color, (((1,), (1,))))   # (CH, 3)
         dop_col = jnp.sum(d_op, axis=1, keepdims=True)        # (CH, 1)
         grads_t = jnp.concatenate(
             [-(cxx * ex + cxy * ey), -(cyy * ey + cxy * ex),
