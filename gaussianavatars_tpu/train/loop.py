@@ -443,7 +443,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
              saving_iterations=(), checkpoint_iterations=(),
              start_checkpoint: Optional[str] = None,
              log_every: int = 10,
-             tb_writer=None, gui=None):
+             tb_writer=None, gui=None, debug_from: int = -1):
     """Full optimization loop (reference train.py:35-214)."""
     os.makedirs(model_cfg.model_path, exist_ok=True)
     save_config(model_cfg.model_path, model_cfg)
@@ -538,6 +538,11 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         if gui is not None:
             gui_poll(gui, model, state, flame_fixed, pipe_cfg,
                      iteration, opt_cfg.iterations, step_fns)
+
+        # reference --debug_from (train.py:215): arm the non-finite
+        # snapshot dump from this iteration on
+        if debug_from >= 0 and iteration >= debug_from:
+            pipe_cfg.debug = True
 
         # xyz LR schedule (reference train.py:106)
         xyz_lr = float(expon_lr(

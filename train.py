@@ -24,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
     parser.add_argument("--detect_anomaly", action="store_true", default=False)
+    parser.add_argument("--debug_from", type=int, default=-1,
+                        help="arm the renderer debug snapshot (dump state "
+                             "on non-finite loss) from this iteration on "
+                             "(reference train.py --debug_from)")
     parser.add_argument(
         "--interval", type=int, default=60_000,
         help="shared iteration interval for test/save/checkpoint",
@@ -106,6 +110,7 @@ def main(argv=None):
             start_checkpoint=args.start_checkpoint,
             tb_writer=tb_writer,
             gui=gui,
+            debug_from=args.debug_from,
         )
     if gui is not None:
         gui.close()
