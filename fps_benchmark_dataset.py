@@ -7,6 +7,8 @@ Loads a trained run + its dataset, takes the first view of each split
 
 import sys
 import time
+
+import numpy as np
 from argparse import ArgumentParser
 
 import gaussianavatars_tpu.utils.jax_setup  # noqa: F401
@@ -24,6 +26,12 @@ def main(argv=None):
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--n_iter", type=int, default=500)
     parser.add_argument("--n_rounds", type=int, default=3)
+    parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_val", action="store_true")
+    parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--vis", action="store_true",
+                        help="save the benchmarked frame per split")
+    parser.add_argument("--quiet", action="store_true")
     args = get_combined_config(parser, argv)
 
     import jax
@@ -51,12 +59,14 @@ def main(argv=None):
     binding = model.binding_device() if bound else None
     active = model.active_mask()
 
+    skips = {"train": args.skip_train, "val": args.skip_val,
+             "test": args.skip_test}
     for split, cams in (
         ("train", scene.get_train_cameras()),
         ("val", scene.get_val_cameras()),
         ("test", scene.get_test_cameras()),
     ):
-        if not cams:
+        if not cams or skips[split]:
             continue
         cam = cams[0]
         p = cam.to_params(*cam.resolution(model_cfg.resolution))
@@ -87,6 +97,14 @@ def main(argv=None):
             dt = time.perf_counter() - t0
             print(f"{split} round {r}: {args.n_iter / dt:.2f} fps "
                   f"({p.width}x{p.height})")
+        if args.vis:
+            from PIL import Image
+
+            arr = np.clip(np.asarray(img) * 255 + 0.5, 0, 255).astype(
+                np.uint8)
+            Image.fromarray(arr.transpose(1, 2, 0)).save(
+                f"fps_benchmark_{split}.png")
+            print(f"saved fps_benchmark_{split}.png")
 
 
 if __name__ == "__main__":
