@@ -163,9 +163,9 @@ class MultiSubjectTrainer:
             cams, gts, bgs, tss = [], [], [], []
             for i in range(self.s):
                 cam, gt, bg, ts = batch_fn(i, iteration)
-                cams.append(cam)
-                gts.append(jnp.asarray(gt))
-                bgs.append(jnp.asarray(bg))
+                cams.append(jax.tree.map(np.asarray, cam))
+                gts.append(np.asarray(gt, np.float32))
+                bgs.append(np.asarray(bg, np.float32))
                 tss.append(ts)
             xyz_lr = float(expon_lr(
                 iteration,
@@ -176,11 +176,14 @@ class MultiSubjectTrainer:
             lrs = lr_pytree(opt, xyz_lr, self.flame_trs[0],
                             self.models[0].spatial_lr_scale)
 
+            # numpy leaves: stacks ride the jit dispatch instead of
+            # paying eager device-put round trips (see train/loop.py)
             out = self._step_fn()(
                 self.params_s, self.flame_tr_s, self.flame_fixed_s,
                 self.binding_s, self.active_s,
-                _stack(cams), jnp.stack(gts), jnp.stack(bgs),
-                jnp.asarray(tss, jnp.int32), lrs,
+                jax.tree.map(lambda *xs: np.stack(xs), *cams),
+                np.stack(gts), np.stack(bgs),
+                np.asarray(tss, np.int32), lrs,
                 self.mu_g, self.nu_g, self.mu_f, self.nu_f, self._count,
                 self.max_radii_s, self.accum_s, self.denom_s,
             )
