@@ -76,6 +76,28 @@ class TestSH:
                 assert np.allclose(np.abs(r), 1.0, atol=2e-4), (l, m, r[:4])
                 assert np.allclose(r, r[0], atol=2e-4), (l, m)
 
+    @pytest.mark.parametrize("deg,k", [(0, 1), (1, 4), (2, 16), (3, 16), (4, 25)])
+    def test_eval_sh_kc_custom_vjp_matches_autodiff(self, deg, k):
+        """The hand VJP of eval_sh_kc (ops/sh.py) == autodiff of eval_sh,
+        for both the coefficient and the view-direction cotangents."""
+        from gaussianavatars_tpu.ops.sh import eval_sh_kc
+
+        sh = rand(10, 40, k, 3)
+        dirs = quat_like_dirs(11, 40)
+        g = rand(12, 40, 3)
+
+        out_ref = eval_sh(deg, jnp.swapaxes(sh, -1, -2), dirs)
+        out_new = eval_sh_kc(deg, sh, dirs)
+        np.testing.assert_allclose(out_new, out_ref, atol=1e-6)
+
+        f_ref = lambda s, d: jnp.sum(
+            eval_sh(deg, jnp.swapaxes(s, -1, -2), d) * g)
+        f_new = lambda s, d: jnp.sum(eval_sh_kc(deg, s, d) * g)
+        g_ref = jax.grad(f_ref, argnums=(0, 1))(sh, dirs)
+        g_new = jax.grad(f_new, argnums=(0, 1))(sh, dirs)
+        for a, b in zip(g_new, g_ref):
+            np.testing.assert_allclose(a, b, atol=2e-5)
+
     def test_rgb_sh_roundtrip(self):
         rgb = jnp.asarray(
             np.random.default_rng(0).random((10, 3)).astype(np.float32))
