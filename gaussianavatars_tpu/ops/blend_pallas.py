@@ -417,8 +417,11 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
     g_color = gpack_ref[lt, 0:3, :]                         # (3, P)
     g_t = gpack_ref[lt, 3:4, :]                             # (1, P)
 
-    s_total = jnp.sum(g_color * out_color, axis=0, keepdims=True)  # (1, P)
-    gt_term = g_t * out_t                                          # (1, P)
+    # gt_term folds into the suffix total: d_alpha subtracts both
+    # (s_total - s_incl)/(1-a) and gt_term/(1-a), so carrying their sum
+    # saves a (CH, P) multiply + subtract per chunk
+    s_total = (jnp.sum(g_color * out_color, axis=0, keepdims=True)
+               + g_t * out_t)                                      # (1, P)
 
     t_all[...] = jnp.ones_like(t_all)
     t_app[...] = jnp.ones_like(t_app)
@@ -499,7 +502,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         data_t = scratch[slot].T                             # (CH, 16)
 
         row_ok = _row_mask(offset, start, end, chunk)
-        alpha, expw, unclamped, (mx, my, cxx, cxy, cyy) = _chunk_geometry_t(
+        alpha, _, unclamped, (mx, my, cxx, cxy, cyy) = _chunk_geometry_t(
             data_t, basis, tx, ty, row_ok
         )
         cp = _cumprod_sublanes(1.0 - alpha, chunk)           # (CH, P)
@@ -517,15 +520,13 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
 
         inv_om = 1.0 / (1.0 - alpha)
         d_alpha = jnp.where(
-            mask,
-            cg * t_before - (s_total - s_incl) * inv_om - gt_term * inv_om,
+            mask & unclamped,
+            cg * t_before - (s_total - s_incl) * inv_om,
             0.0,
         )
-        d_alpha = jnp.where(unclamped, d_alpha, 0.0)
         if "dalpha" in _ABLATE:
             d_alpha = alpha
         d_power = d_alpha * alpha
-        d_op = jnp.where(unclamped & mask, d_alpha, 0.0) * expw
 
         # All five mean/conic gradient reductions are linear combinations
         # of the quadratic pixel moments S = d_power @ U — one MXU matmul
@@ -567,7 +568,12 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         eyy = mys * mys * s0 - 2.0 * mys * sy + syy
 
         dcol = _split_dot(weight, g_color, (((1,), (1,))))   # (CH, 3)
-        dop_col = jnp.sum(d_op, axis=1, keepdims=True)        # (CH, 1)
+        # opacity gradient from the zeroth moment: on the unclamped mask
+        # alpha = op * expw exactly, so sum_p d_alpha*expw = s0 / op — no
+        # (CH, P) d_op product or lane reduction needed. Padded/dead rows
+        # have op = 0 AND s0 = 0; the max() guard keeps 0/0 at 0.
+        opc = data_t[:, ROW_OP:ROW_OP + 1]                    # (CH, 1)
+        dop_col = s0 / jnp.maximum(opc, 1e-12)                # (CH, 1)
         grads_t = jnp.concatenate(
             [-(cxx * ex + cxy * ey), -(cyy * ey + cxy * ex),
              -0.5 * exx, -exy, -0.5 * eyy,

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussianavatars_tpu.ops.covariance import build_covariance_3d
-from gaussianavatars_tpu.ops.sh import eval_sh_kc
+from gaussianavatars_tpu.ops.sh import eval_sh_flat
 
 
 class ProjectedGaussians(NamedTuple):
@@ -296,9 +296,10 @@ def project_gaussians(
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
         )
-        # shs stay [N, K, 3]: eval_sh_kc slices contiguous [N, k, :]
-        # coefficients, avoiding a [N, K, C] relayout copy
-        colors = eval_sh_kc(sh_degree, shs, dirs) + 0.5
+        # evaluate over the FLAT [N, K*3] view: 2D in/out/cotangent shapes
+        # keep XLA from assigning [N, K, C] permuted layouts (the reshape is
+        # a free bitcast when shs arrives row-major)
+        colors = eval_sh_flat(sh_degree, shs.reshape(n, -1), dirs) + 0.5
         colors = jnp.maximum(colors, 0.0)
 
     return ProjectedGaussians(

@@ -136,11 +136,15 @@ def rasterize(
         # gather cost is rows-bound on this hardware.
         pack_ranked = permute_rows(pack, binning.perm, binning.inv_perm)
         live_cap = min(capacity, binning.ranks.shape[0])
+        # mask_dead=False: dense binning sorts dead keys past every tile
+        # boundary, so no per-tile [start, end) range can reach one — the
+        # opacity mask multiply (a full stream rewrite) is dead weight here
         inst = gather_instances_perm(
             pack_ranked, binning.ranks[:live_cap],
             binning.instance_valid[:live_cap], capacity,
             binning.rank_live_counts,
             binning.num_tiles_x * binning.num_tiles_y,
+            False,
         )
         rect_overflow = (
             jnp.max(binning.level_overflow)

@@ -162,23 +162,9 @@ def sh_basis(degree: int, dirs: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def eval_sh_kc(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
-    """`eval_sh` over [..., K, C]-laid-out coefficients (K in the MIDDLE).
-
-    Functionally identical to `eval_sh(degree, swapaxes(sh, -1, -2), dirs)`
-    but indexes coefficients as contiguous [..., k, :] slices: the
-    channel-minor layout matches how SH features are stored, so XLA emits
-    no [N, K, C] -> [N, C, K] relayout copy (~1.2 ms at 100k gaussians).
-
-    Custom VJP: autodiff of the unrolled sum builds the [N, K, C] coefficient
-    cotangent from K concatenated slices, which XLA lowers to ~3.5 ms of
-    relayout copies at 100k gaussians. The hand VJP emits d_sh as ONE fused
-    outer product basis x g and routes d_dirs through jax.vjp of the basis
-    polynomial (elementwise), keeping the whole backward at bandwidth cost.
-    """
+def _eval_sh_sliced(degree: int, s, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Shared unrolled SH sum; `s(k)` returns the [..., 3] k-th coefficient."""
     assert 0 <= degree <= 4
-    s = lambda k: sh[..., k, :]
     result = _C0 * s(0)
     if degree > 0:
         x = dirs[..., 0:1]
@@ -224,6 +210,25 @@ def eval_sh_kc(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return result
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def eval_sh_kc(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """`eval_sh` over [..., K, C]-laid-out coefficients (K in the MIDDLE).
+
+    Functionally identical to `eval_sh(degree, swapaxes(sh, -1, -2), dirs)`
+    but indexes coefficients as contiguous [..., k, :] slices: the
+    channel-minor layout matches how SH features are stored, so XLA emits
+    no [N, K, C] -> [N, C, K] relayout copy (~1.2 ms at 100k gaussians).
+
+    Custom VJP: autodiff of the unrolled sum builds the [N, K, C] coefficient
+    cotangent from K concatenated slices (~3.5 ms of relayout copies at 100k
+    gaussians); the hand VJP emits d_sh as ONE fused outer product basis x g
+    and routes d_dirs through jax.vjp of the basis polynomial. For the hot
+    path prefer `eval_sh_flat`, whose 2D cotangents dodge the [N, K, C]
+    layout assignment entirely.
+    """
+    return _eval_sh_sliced(degree, lambda k: sh[..., k, :], dirs)
+
+
 def _eval_sh_kc_fwd(degree, sh, dirs):
     return eval_sh_kc(degree, sh, dirs), (sh, dirs)
 
@@ -240,6 +245,41 @@ def _eval_sh_kc_bwd(degree, residuals, g):
 
 
 eval_sh_kc.defvjp(_eval_sh_kc_fwd, _eval_sh_kc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def eval_sh_flat(degree: int, sh2: jnp.ndarray, dirs: jnp.ndarray):
+    """SH evaluation over FLAT [..., K*3] coefficients (k-major, c-minor).
+
+    The hot-path variant: every tensor involved (input, output, cotangents)
+    is 2D, so XLA's layout assignment has no [N, K, C] permutation choices
+    to make — the backward is pure elementwise work (repeat/tile products)
+    instead of the ~2.4 ms of {0,1,2}->{2,0,1} relayout copies the 3D
+    version costs at 100k gaussians.
+    """
+    return _eval_sh_sliced(
+        degree, lambda k: sh2[..., 3 * k:3 * k + 3], dirs)
+
+
+def _eval_sh_flat_fwd(degree, sh2, dirs):
+    return eval_sh_flat(degree, sh2, dirs), (sh2, dirs)
+
+
+def _eval_sh_flat_bwd(degree, residuals, g):
+    sh2, dirs = residuals
+    k = sh2.shape[-1] // 3
+    basis, pull_dirs = jax.vjp(lambda d: sh_basis(degree, d, k), dirs)
+    # d_sh2[..., 3k+c] = basis_k * g_c  (k-major repeat x channel tile)
+    gk = jnp.tile(g, (1,) * (g.ndim - 1) + (k,))
+    d_sh2 = jnp.repeat(basis, 3, axis=-1) * gk
+    # t_k = sum_c sh2[..., 3k+c] * g_c via three strided lane slices
+    prod = sh2 * gk
+    t = prod[..., 0::3] + prod[..., 1::3] + prod[..., 2::3]
+    (d_dirs,) = pull_dirs(t)
+    return d_sh2.astype(sh2.dtype), d_dirs.astype(dirs.dtype)
+
+
+eval_sh_flat.defvjp(_eval_sh_flat_fwd, _eval_sh_flat_bwd)
 
 
 def rgb2sh(rgb: jnp.ndarray) -> jnp.ndarray:

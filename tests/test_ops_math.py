@@ -98,6 +98,29 @@ class TestSH:
         for a, b in zip(g_new, g_ref):
             np.testing.assert_allclose(a, b, atol=2e-5)
 
+    @pytest.mark.parametrize("deg,k", [(0, 1), (2, 16), (3, 16), (4, 25)])
+    def test_eval_sh_flat_matches_autodiff(self, deg, k):
+        """The 2D hot-path variant (ops/sh.py eval_sh_flat) == autodiff of
+        eval_sh for value, coefficient grads, and direction grads."""
+        from gaussianavatars_tpu.ops.sh import eval_sh_flat
+
+        sh2 = rand(20, 40, k * 3)
+        dirs = quat_like_dirs(21, 40)
+        g = rand(22, 40, 3)
+
+        as_kc = lambda s: jnp.swapaxes(s.reshape(40, k, 3), -1, -2)
+        np.testing.assert_allclose(
+            eval_sh_flat(deg, sh2, dirs), eval_sh(deg, as_kc(sh2), dirs),
+            atol=1e-6)
+        g_ref = jax.grad(
+            lambda s, d: jnp.sum(eval_sh(deg, as_kc(s), d) * g),
+            argnums=(0, 1))(sh2, dirs)
+        g_new = jax.grad(
+            lambda s, d: jnp.sum(eval_sh_flat(deg, s, d) * g),
+            argnums=(0, 1))(sh2, dirs)
+        for a, b in zip(g_new, g_ref):
+            np.testing.assert_allclose(a, b, atol=2e-5)
+
     def test_rgb_sh_roundtrip(self):
         rgb = jnp.asarray(
             np.random.default_rng(0).random((10, 3)).astype(np.float32))
