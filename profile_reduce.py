@@ -4,6 +4,15 @@
 Times isolated formulations of gather_instances_perm's cotangent reduction
 on the real chip: the (cap,16) rank-grouped gather's source/dest layouts
 decide most of the cost (fusion.10 = 3.56 ms in the r2 fwd+bwd trace).
+
+CAVEAT (measured): the wall-clock numbers this prints are NOT trustworthy —
+the axon tunnel serves repeated dispatches from a value-aware cache even
+with the salt folded through `g` (0.135 ms wall vs 6.06 ms true device time
+for variant a). Use an xplane trace of the same functions for real numbers;
+findings from that trace: the gather itself runs at the ~4.5 ns/row random
+HBM floor (its 50 MB source cannot be VMEM-staged like the forward stream
+gather's 6.4 MB pack), the transpose relayout is nearly free (0.07 ms), and
+scatter-add (c) loses as expected.
 """
 import sys
 import time
