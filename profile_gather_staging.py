@@ -12,9 +12,9 @@ import sys
 sys.path.insert(0, ".")
 import gaussianavatars_tpu.utils.jax_setup  # noqa: F401
 
-import collections
 import glob
 import os
+import shutil
 import tempfile
 
 import jax
@@ -29,21 +29,24 @@ def trace_ms(fn, args, iters=20):
     out = fn(jnp.int32(0), *args)
     jax.block_until_ready(out)
     d = tempfile.mkdtemp(prefix="gs_")
-    with jax.profiler.trace(d):
-        for i in range(iters):
-            out = fn(jnp.int32(i), *args)
-        jax.block_until_ready(out)
-    files = glob.glob(os.path.join(d, "**", "*.xplane.pb"), recursive=True)
-    data = jax.profiler.ProfileData.from_file(files[0])
-    total = 0
-    for plane in data.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
-            continue
-        for line in plane.lines:
-            for ev in line.events:
-                if "jit_" in ev.name:
-                    total += ev.duration_ns
-    return total / 1e6 / iters
+    try:
+        with jax.profiler.trace(d):
+            for i in range(iters):
+                out = fn(jnp.int32(i), *args)
+            jax.block_until_ready(out)
+        files = glob.glob(os.path.join(d, "**", "*.xplane.pb"), recursive=True)
+        data = jax.profiler.ProfileData.from_file(files[0])
+        total = 0
+        for plane in data.planes:
+            if "TPU" not in plane.name and "tpu" not in plane.name:
+                continue
+            for line in plane.lines:
+                for ev in line.events:
+                    if "jit_" in ev.name:
+                        total += ev.duration_ns
+        return total / 1e6 / iters
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def main():
@@ -58,7 +61,8 @@ def main():
 
         ms = trace_ms(g, (src, idx))
         mb = n_src * ROWS * 4 / 1e6
-        # subtract the salt-add pass over the source (bandwidth-bound)
+        # note: the time includes the (bandwidth-bound) salt-add pass over
+        # the source; at these sizes it is small next to the gather itself
         print(f"src {mb:6.1f} MB: {ms:6.3f} ms total "
               f"({ms * 1e6 / CAP:5.2f} ns/row incl. salt pass)")
 

@@ -18,6 +18,7 @@ import gaussianavatars_tpu.utils.jax_setup  # noqa: F401
 import collections
 import glob
 import os
+import shutil
 import tempfile
 
 import jax
@@ -51,11 +52,14 @@ def trace(fn, args, label, iters=30):
     out = fn(jnp.int32(0), *args)
     jax.block_until_ready(out)
     d = tempfile.mkdtemp(prefix=f"ks_{label}_")
-    with jax.profiler.trace(d):
-        for i in range(iters):
-            out = fn(jnp.int32(i), *args)
-        jax.block_until_ready(out)
-    summarize(d, label, iters)
+    try:
+        with jax.profiler.trace(d):
+            for i in range(iters):
+                out = fn(jnp.int32(i), *args)
+            jax.block_until_ready(out)
+        summarize(d, label, iters)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def main():

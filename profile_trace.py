@@ -9,6 +9,7 @@ can include stalls).
 import collections
 import glob
 import os
+import shutil
 import sys
 import tempfile
 
@@ -49,11 +50,14 @@ def run_and_trace(fn, args, label, iters=20):
     out = fn(*args)
     jax.block_until_ready(out)
     d = tempfile.mkdtemp(prefix=f"trace_{label}_")
-    with jax.profiler.trace(d):
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-    summarize(d, f"{label} ({iters} iters; divide by {iters})")
+    try:
+        with jax.profiler.trace(d):
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+        summarize(d, f"{label} ({iters} iters; divide by {iters})")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def main():
