@@ -135,6 +135,10 @@ class OptimizationConfig:
     densify_from_iter: int = 10_000
     densify_until_iter: int = 600_000
     densify_grad_threshold: float = 0.0002
+    # "reference" reproduces the reference's literal screen-size-prune
+    # behavior (max_radii2D zeroed by densification before the prune reads
+    # it -> the test never fires); "effective" prunes on pre-densify radii
+    screen_size_prune: str = "reference"
 
     flame_expr_lr: float = 1e-3
     flame_trans_lr: float = 1e-6

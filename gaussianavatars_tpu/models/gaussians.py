@@ -21,6 +21,7 @@ PLY interchange is bit-compatible with the reference (including the
 
 from __future__ import annotations
 
+import itertools
 import math
 from typing import NamedTuple, Optional
 
@@ -121,10 +122,16 @@ class GaussianModel:
     this class owns everything that changes shape or runs host-side.
     """
 
+    _TOKEN_COUNTER = itertools.count()
+
     def __init__(self, sh_degree: int, capacity_granularity: int = 8192):
         self.max_sh_degree = sh_degree
         self.active_sh_degree = 0
         self.capacity_granularity = capacity_granularity
+        # Stable identity for host-side caches keyed on "which model":
+        # id() values recycle after GC, so a long-lived process evaluating
+        # several models could hit a stale cache with wrong closures.
+        self.cache_token = next(GaussianModel._TOKEN_COUNTER)
         # capacity floor: multi-subject batched training pads every
         # subject to a COMMON bucket so the [S, N, ...] stack stays
         # rectangular across divergent densification (train/multisubject.py)
@@ -310,12 +317,19 @@ class GaussianModel:
         percent_dense: float,
         face_scaling: Optional[np.ndarray] = None,
         seed: int = 0,
+        screen_size_prune: str = "reference",
     ) -> AdamState:
         """Clone + split + prune with optimizer-state surgery.
 
         Mirrors reference scene/gaussian_model.py:446-515 (including the
         bound-path quirks: world-scale thresholds, local-frame split
         sampling, binding inheritance and the never-empty-a-face guard).
+
+        `screen_size_prune`: "reference" (default) reproduces the
+        reference's literal behavior — densification_postfix zeroes
+        max_radii2D before the prune reads it, so the screen-size test
+        never fires; "effective" actually prunes on the pre-densify radii
+        (what the reference code *looks like* it does).
         """
         rng = np.random.default_rng(seed)
         p, mu, nu = self._to_host(opt_state)
@@ -411,22 +425,26 @@ class GaussianModel:
         opac = 1.0 / (1.0 + np.exp(-p["opacity"][:, 0]))
         prune_mask = opac < min_opacity
         if max_screen_size:
-            padded_radii = np.zeros(n_now, np.float32)
-            # radii stats exist only for pre-densify entries
-            keep_old = ~clone_mask.copy()
-            # reference tracks radii for the ORIGINAL n entries; cloned/split
-            # additions have zero radii until the next render
-            radii_orig = np.zeros(n, np.float32)
-            radii_orig[:] = max_radii
-            alive_map = np.ones(n, bool)
-            alive_map &= ~split_mask[:n]
-            # reconstruct: entries 0..n kept unless split-pruned, then appends
-            old_kept = np.where(~split_mask[:n])[0]
-            padded_radii[: len(old_kept)] = radii_orig[old_kept]
-            big_vs = padded_radii > max_screen_size
             world_scale = get_world_scaling(p, binding)
             big_ws = world_scale.max(1) > 0.1 * extent
-            prune_mask = prune_mask | big_vs | big_ws
+            prune_mask = prune_mask | big_ws
+            if screen_size_prune == "effective":
+                # Prune on the PRE-densify screen radii: the stats tracked
+                # for the original n entries, mapped through the split
+                # prune (clone/split children have no radii yet). This is
+                # what the reference's prune *reads as if* it had — see
+                # "reference" below for what it actually sees.
+                padded_radii = np.zeros(n_now, np.float32)
+                old_kept = np.where(~split_mask[:n])[0]
+                padded_radii[: len(old_kept)] = max_radii[old_kept]
+                prune_mask = prune_mask | (padded_radii > max_screen_size)
+            else:
+                # "reference": the reference zeroes max_radii2D in
+                # densification_postfix (scene/gaussian_model.py:441-443),
+                # which clone AND split always run before densify_and_prune
+                # reads it (:505-509) — so big_points_vs is all-False there.
+                # Reproduce that literally: no screen-size prune at all.
+                assert screen_size_prune == "reference", screen_size_prune
         p, mu, nu, binding, counter = self._prune(
             p, mu, nu, binding, counter, prune_mask
         )

@@ -19,6 +19,12 @@ both consequences of fusing Adam into the jitted step:
     (train.py:207-210); here the last step applies it. The saved model has
     one extra Adam update — identical in expectation, and checkpoints
     capture the matching optimizer state either way.
+
+The screen-size prune follows the reference's LITERAL semantics by default
+(max_radii2D zeroed by densification before the prune reads it, so the
+test never fires — scene/gaussian_model.py:441-443 vs :505-509); set
+OptimizationConfig.screen_size_prune="effective" to actually prune on
+pre-densify radii (see models/gaussians.densify_and_prune).
 """
 
 from __future__ import annotations
@@ -434,7 +440,11 @@ def gui_poll(gui, model, state: StepState, flame_fixed, pipe_cfg,
                 iteration < total_iterations or not msg["keep_alive"]
             ):
                 break
-        except Exception:
+        except Exception as e:
+            # The reference swallows these silently (train.py:100-102);
+            # log first so a render-path bug doesn't masquerade as a
+            # viewer disconnect.
+            print(f"[gui] dropping viewer connection after error: {e!r}")
             gui.drop()
 
 
@@ -523,6 +533,10 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     t_start = time.time()
     history = []
     timeline = []
+    # end-of-run observability: growth/rejit/surgery event counts land in
+    # run_summary.json next to cfg_args (warnings alone scroll away)
+    events = {"capacity_growth": 0, "level_bucket_growth": 0,
+              "densify": 0, "opacity_reset": 0, "unresolved_overflow": 0}
     # 2-deep probe/loss read pipeline: by the time an entry is read, its
     # async D2H copy has fully landed, so the read never pays the tunnel
     # round trip (reading 1 step late still stalls ~1 RTT after the step)
@@ -630,11 +644,13 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 print(f"[warn] dense level-bucket shortfall {-pv}; "
                       f"growing level_scale")
                 pipe_cfg.level_scale = 2 * getattr(pipe_cfg, "level_scale", 1)
+                events["level_bucket_growth"] += 1
                 step_fns.clear()
             elif pv > pipe_cfg.capacity:
                 print(f"[warn] instance overflow {pv} > "
                       f"{pipe_cfg.capacity}; growing bucket")
                 pipe_cfg.capacity = int(1.5 * pv)
+                events["capacity_growth"] += 1
                 step_fns.clear()
         if iteration % log_every == 0 or iteration == opt_cfg.iterations:
             # final iteration reads its own losses (sync); otherwise the
@@ -697,7 +713,9 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     scene.cameras_extent, size_threshold,
                     opt_cfg.percent_dense, face_scaling,
                     seed=iteration,
+                    screen_size_prune=opt_cfg.screen_size_prune,
                 )
+                events["densify"] += 1
                 state = StepState(
                     params=model.params, flame_tr=state.flame_tr,
                     mu={"gauss": adam_g.mu, "flame": state.mu["flame"]},
@@ -718,6 +736,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     count=state.count,
                 )
                 adam_g = model.reset_opacity(adam_g)
+                events["opacity_reset"] += 1
                 state = state._replace(
                     params=model.params,
                     mu={"gauss": adam_g.mu, "flame": state.mu["flame"]},
@@ -756,15 +775,32 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         pv = int(pending.popleft()[0])
         if pv < 0:
             print(f"[warn] dense level-bucket shortfall {-pv} in final steps")
+            events["unresolved_overflow"] += 1
         elif pv > pipe_cfg.capacity:
             print(f"[warn] instance overflow {pv} > {pipe_cfg.capacity} "
                   "in final steps")
+            events["unresolved_overflow"] += 1
 
     progress.close()
     loader.stop()
     elapsed = time.time() - t_start
+    summary = {
+        "iterations": int(opt_cfg.iterations),
+        "first_iter": int(first_iter),
+        "elapsed_s": round(elapsed, 2),
+        "final_ema_loss": float(ema_loss),
+        "n_alive": int(model.n_alive),
+        "model_capacity": int(model.capacity),
+        "instance_capacity": int(pipe_cfg.capacity),
+        "level_scale": int(getattr(pipe_cfg, "level_scale", 1)),
+        "events": events,
+    }
+    with open(os.path.join(model_cfg.model_path, "run_summary.json"),
+              "w") as f:
+        json.dump(summary, f, indent=2)
     return model, state, {"ema_loss": ema_loss, "elapsed": elapsed,
-                          "history": history, "timeline": timeline}
+                          "history": history, "timeline": timeline,
+                          "summary": summary}
 
 
 def save_checkpoint(model, state: StepState, iteration: int, path: str):
@@ -802,9 +838,12 @@ def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
     bound = getattr(model, "binding", None) is not None
     flame_full = {**flame_fixed, **state.flame_tr} if bound else {}
     results = {}
+    # model.cache_token (not id(model)): id() values recycle after GC, so a
+    # long-lived process evaluating several models could hit a stale entry
+    # whose closures capture the wrong capacity/model
     render_fns = _EVAL_RENDER_FNS.setdefault(
-        (id(model), pipe_cfg.backend, pipe_cfg.capacity, model.capacity,
-         model.active_sh_degree), {}
+        (model.cache_token, pipe_cfg.backend, pipe_cfg.capacity,
+         model.capacity, model.active_sh_degree), {}
     )
     for split, cameras in (
         ("val", scene.get_val_cameras()), ("test", scene.get_test_cameras()),

@@ -230,6 +230,7 @@ class MultiSubjectTrainer:
                                 0.005, self.extents[i], size_threshold,
                                 opt.percent_dense, face_scaling,
                                 seed=iteration,
+                                screen_size_prune=opt.screen_size_prune,
                             )
                         if hit_reset:
                             self._adams[i] = m.reset_opacity(self._adams[i])

@@ -153,6 +153,57 @@ def test_densify_clone_split_prune():
     assert state.mu.xyz.shape == m.params.xyz.shape
 
 
+def test_cache_token_is_unique_across_lifetimes():
+    """Eval render-fn caches key on cache_token, not id(): id() values
+    recycle after GC, which could resurrect a stale capacity closure."""
+    tokens = set()
+    for _ in range(8):
+        m = GaussianModel(sh_degree=1, capacity_granularity=64)
+        assert m.cache_token not in tokens
+        tokens.add(m.cache_token)
+        del m  # a recycled id() would collide here; tokens never do
+
+
+def _radii_prune_model():
+    """Model with one oversized-on-screen gaussian and no other densify
+    triggers (no high grads, everything opaque, world scales small)."""
+    m = make_model(n=100)
+    mu, nu, count = optim.init(m.params)
+    state = AdamState(mu=mu, nu=nu, count=count)
+    m.xyz_gradient_accum = jnp.zeros(128)
+    m.denom = jnp.ones(128)
+    radii = np.zeros(128, np.float32)
+    radii[7] = 50.0                      # > max_screen_size = 20
+    m.max_radii2d = jnp.asarray(radii)
+    opacity = np.full((128, 1), 3.0, np.float32)  # sigmoid ~ 0.95
+    m.params = m.params._replace(opacity=jnp.asarray(opacity))
+    return m, state
+
+
+def test_screen_size_prune_reference_semantics():
+    """Default mode reproduces the reference's literal behavior: the
+    screen-size test never fires, because the reference zeroes max_radii2D
+    in densification_postfix (scene/gaussian_model.py:441-443) before
+    densify_and_prune reads it (:505-509)."""
+    m, state = _radii_prune_model()
+    n_before = m.n_alive
+    m.densify_and_prune(
+        state, max_grad=0.5, min_opacity=0.005, extent=1e6,
+        max_screen_size=20, percent_dense=0.01,
+    )
+    assert m.n_alive == n_before  # big-radii gaussian survives
+
+    # "effective" mode actually prunes on the pre-densify radii
+    m, state = _radii_prune_model()
+    n_before = m.n_alive
+    m.densify_and_prune(
+        state, max_grad=0.5, min_opacity=0.005, extent=1e6,
+        max_screen_size=20, percent_dense=0.01,
+        screen_size_prune="effective",
+    )
+    assert m.n_alive == n_before - 1
+
+
 def test_densify_binding_guard():
     """A face must never lose its last gaussian."""
     m = GaussianModel(sh_degree=1, capacity_granularity=64)

@@ -37,3 +37,9 @@ def test_train_cli_subprocess(tmp_path):
     assert os.path.exists(
         os.path.join(out, "point_cloud", "iteration_4", "point_cloud.ply"))
     assert os.path.exists(os.path.join(out, "chkpnt4.npz"))
+    # end-of-run summary (growth/surgery event counts, final capacities)
+    with open(os.path.join(out, "run_summary.json")) as f:
+        summary = json.load(f)
+    assert summary["iterations"] == 4
+    assert summary["n_alive"] > 0
+    assert "capacity_growth" in summary["events"]
