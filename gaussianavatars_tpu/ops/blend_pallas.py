@@ -121,6 +121,9 @@ _ABLATE = frozenset()  # dev-only cost attribution: {'scan2', 'moments',
                        # 'dalpha'} disable backward pieces at TRACE time
                        # (results become wrong; timing-only)
 
+_EXACT_SPLIT = True  # dev A/B: False falls back to the HIGHEST power
+                     # matmul + unshifted basis (pre-split behavior)
+
 NSLOTS = 4  # chunk-DMA pipeline depth: reads prefetch NSLOTS-1 chunks
             # ahead and gradient writes drain NSLOTS chunks behind.
             # Measured equal to depth 2 on the canonical bench (the
@@ -132,13 +135,24 @@ POWER_FUZZ = 1e-4  # the quadratic form is mathematically <= 0 (PD conic);
                    # acceptance test never rejects a real peak pixel
 
 
-def _pix_basis(tile_size, p):
+def _pix_basis(tile_size, p, center_shift=False):
     """Quadratic pixel basis U (P, 8) = [1, px, py, px^2, px*py, py^2, 0, 0]
     in LOCAL tile coordinates (bounded magnitudes keep the MXU evaluation
-    of the quadratic form inside f32 cancellation limits)."""
+    of the quadratic form inside f32 cancellation limits).
+
+    With `center_shift`, coordinates are shifted by tile_size//2 so every
+    entry is an integer in [-256, 256] for tile_size <= 32 — EXACTLY
+    representable in bf16. Against an exact bf16 operand, a hi/lo-split
+    matmul of the other operand reaches f32-grade accuracy in DEFAULT
+    (bf16) MXU passes; see `_power_split` and the moments matmul.
+    """
     idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     px = (idx % tile_size).astype(jnp.float32)
     py = (idx // tile_size).astype(jnp.float32)
+    if center_shift:
+        c = jnp.float32(tile_size // 2)
+        px = px - c
+        py = py - c
     one = jnp.ones((p, 1), jnp.float32)
     zero = jnp.zeros((p, 1), jnp.float32)
     return jnp.concatenate(
@@ -146,47 +160,78 @@ def _pix_basis(tile_size, p):
     )
 
 
-def _power_coefs_t(data_t, tx, ty):
-    """Per-instance quadratic coefficients (CH, 8) so that
-    power = coef @ U^T with U the local-pixel basis.
+def _power_split(coef, basis):
+    """power matmul in three DEFAULT (bf16) passes: the basis operand is
+    bf16-EXACT (center-shifted integer entries <= 256), so a hi/mid/lo
+    split of coef reaches residual ~|coef|*2^-24 — f32-grade on the
+    acceptance-critical near-peak pixels (where |coef| is small because
+    the mean lies inside the tile) — at HALF the MXU passes of HIGHEST.
+    coef (8, CH) x basis (P, 8) -> (CH, P)."""
+    dot = lambda a: jax.lax.dot_general(
+        a, basis,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    c0 = coef.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = coef - c0
+    c1 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    c2 = r1 - c1
+    return (dot(c0) + dot(c1)) + dot(c2)
+
+
+def _power_coefs_rows(data, tx, ty):
+    """Per-instance quadratic coefficients as ROWS: coef (8, CH) so that
+    power[c, p] = coef[:, c] . U[p, :] with U the local-pixel basis.
 
     Expansion of -0.5(cxx dx^2 + cyy dy^2) - cxy dx dy with
     dx = mx' - px, dy = my' - py and mx', my' the mean in local tile
     coordinates (shifting keeps the expanded form inside f32 cancellation
-    limits). data_t is the chunk transposed to instance-major (CH, 16).
+    limits). `data` is the chunk exactly as DMA'd, feature-major (16, CH):
+    every per-instance quantity stays a (1, CH) lane-resident row — full
+    vregs, no (16, CH) -> (CH, 16) transpose and no 1-lane column ops.
     """
-    mx = data_t[:, ROW_MX:ROW_MX + 1] - tx          # (CH, 1)
-    my = data_t[:, ROW_MY:ROW_MY + 1] - ty
-    cxx = data_t[:, ROW_CXX:ROW_CXX + 1]
-    cxy = data_t[:, ROW_CXY:ROW_CXY + 1]
-    cyy = data_t[:, ROW_CYY:ROW_CYY + 1]
+    mx = data[ROW_MX:ROW_MX + 1, :] - tx            # (1, CH)
+    my = data[ROW_MY:ROW_MY + 1, :] - ty
+    cxx = data[ROW_CXX:ROW_CXX + 1, :]
+    cxy = data[ROW_CXY:ROW_CXY + 1, :]
+    cyy = data[ROW_CYY:ROW_CYY + 1, :]
     a0 = -0.5 * (cxx * mx * mx + cyy * my * my) - cxy * mx * my
     bx = cxx * mx + cxy * my
     by = cyy * my + cxy * mx
     zero = jnp.zeros_like(a0)
     coef = jnp.concatenate(
-        [a0, bx, by, -0.5 * cxx, -cxy, -0.5 * cyy, zero, zero], axis=1
-    )                                               # (CH, 8)
+        [a0, bx, by, -0.5 * cxx, -cxy, -0.5 * cyy, zero, zero], axis=0
+    )                                               # (8, CH)
     return coef, mx, my, cxx, cxy, cyy
 
 
-def _chunk_geometry_t(data_t, basis, tx, ty, row_ok):
-    """Shared fwd/bwd chunk math, instance-major: data_t (CH, 16);
-    basis (P, 8); row_ok (CH, 1). Returns (alpha, expw, unclamped) all
-    (CH, P) plus the local-mean/conic column vectors for the backward's
-    moment algebra. power is ONE small MXU matmul instead of
-    per-(pixel, instance) VPU arithmetic; pixels live on LANES so every
-    per-pixel carry is a cheap (1, P) row vector.
+def _chunk_geometry(data, basis, tx, ty, row_ok, exact_split):
+    """Shared fwd/bwd chunk math over the feature-major chunk: data
+    (16, CH) exactly as DMA'd; basis (P, 8); row_ok (CH, 1). Returns
+    (alpha, expw, unclamped) all (CH, P) plus the (1, CH) local-mean/conic
+    ROWS for the backward's moment algebra. power is ONE small MXU matmul
+    instead of per-(pixel, instance) VPU arithmetic; pixels live on LANES
+    of the (CH, P) arrays so every per-pixel carry is a cheap (1, P) row.
+
+    `exact_split` (static) selects the 3-pass bf16-split power matmul —
+    valid only when `basis` is center-shifted with bf16-exact entries
+    (tile_size <= 32); tx/ty must then carry the same center shift.
     """
-    coef, mx, my, cxx, cxy, cyy = _power_coefs_t(data_t, tx, ty)
-    power = jax.lax.dot_general(
-        coef, basis,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_MM_PRECISION,
-    )                                               # (CH, P)
+    coef, mx, my, cxx, cxy, cyy = _power_coefs_rows(data, tx, ty)
+    if exact_split:
+        power = _power_split(coef, basis)           # (CH, P)
+    else:
+        power = jax.lax.dot_general(
+            coef, basis,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_MM_PRECISION,
+        )                                           # (CH, P)
     expw = jnp.exp(jnp.minimum(power, 0.0))
-    e = data_t[:, ROW_OP:ROW_OP + 1] * expw
+    # the one instance-major carry: opacity broadcast over pixels needs
+    # the sublane axis — a single (1, CH) -> (CH, 1) relayout per chunk
+    opc_col = data[ROW_OP:ROW_OP + 1, :].T          # (CH, 1)
+    e = opc_col * expw
     alpha = jnp.minimum(ALPHA_MAX, e)
     ok = (power <= POWER_FUZZ) & (e >= ALPHA_MIN) & row_ok
     alpha = jnp.where(ok, alpha, 0.0)
@@ -221,12 +266,16 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
                 t_all, t_app, color_acc, basis_scr, *,
                 tile_size, chunk, tpb):
     p = tile_size * tile_size
+    # tile_size <= 32: center-shifted basis entries are bf16-exact, which
+    # unlocks the 3-pass split power matmul (see _power_split)
+    exact = tile_size <= 32 and _EXACT_SPLIT
+    cshift = jnp.float32(tile_size // 2) if exact else jnp.float32(0.0)
 
     # the quadratic pixel basis is tile-independent (local coords); build
     # it once and reuse across the sequential grid (scratch persists)
     @pl.when(pl.program_id(0) == 0)
     def _():
-        basis_scr[...] = _pix_basis(tile_size, p)
+        basis_scr[...] = _pix_basis(tile_size, p, center_shift=exact)
 
     basis = basis_scr[...]
 
@@ -236,8 +285,8 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
         start = ranges_ref[t, 0]
         end = ranges_ref[t, 1]
         astart = (start // chunk) * chunk
-        tx = ranges_ref[t, 2].astype(jnp.float32)
-        ty = ranges_ref[t, 3].astype(jnp.float32)
+        tx = ranges_ref[t, 2].astype(jnp.float32) + cshift
+        ty = ranges_ref[t, 3].astype(jnp.float32) + cshift
 
         t_all[...] = jnp.ones_like(t_all)
         t_app[...] = jnp.ones_like(t_app)
@@ -270,10 +319,12 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
                 chunk_dma(nxt, (nxt // chunk) % NSLOTS).start()
 
             chunk_dma(offset, slot).wait()
-            data_t = scratch[slot].T                        # (CH, 16)
+            data = scratch[slot]                            # (16, CH)
 
             row_ok = _row_mask(offset, start, end, chunk)
-            alpha, _, _, _ = _chunk_geometry_t(data_t, basis, tx, ty, row_ok)
+            alpha, _, _, _ = _chunk_geometry(
+                data, basis, tx, ty, row_ok, exact
+            )
             # direct product-space transmittance (the reference CUDA's own
             # f32 recurrence): no log1p/exp transcendentals per chunk
             cp = _cumprod_sublanes(1.0 - alpha, chunk)      # (CH, P)
@@ -281,8 +332,8 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
             cp_excl = _shift_down_one(cp, 1.0)
             weight = jnp.where(mask, alpha * cp_excl, 0.0) * t_app[...]
 
-            colors_t = data_t[:, ROW_R:ROW_B + 1]           # (CH, 3)
-            contrib = _split_dot(colors_t, weight, (((0,), (0,))))
+            colors_r = data[ROW_R:ROW_B + 1, :]             # (3, CH)
+            contrib = _split_dot(colors_r, weight, (((1,), (0,))))
             color_acc[...] += contrib
             t_all[...] *= cp[chunk - 1:chunk, :]
             # applied product = cp at the last masked row = min over masked
@@ -370,47 +421,44 @@ def blend_image_fwd_pallas(
 
 def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
                 scratch, gscratch, accscratch, sems, gsem, wsems,
-                t_all, t_app, s_prefix, basis_scr, basc_scr, *,
+                t_all, t_app, s_prefix, basis_scr, *,
                 tile_size, chunk, tpb):
     p = tile_size * tile_size
+    exact = tile_size <= 32 and _EXACT_SPLIT
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        basis_scr[...] = _pix_basis(tile_size, p)
-        # tile-center-shifted copy: every entry is an integer in
-        # [-256, 256], EXACTLY representable in bf16 — so the moments
-        # matmul can run as two DEFAULT-precision passes over a hi/lo
-        # split of d_power with f32-grade accuracy (see _bwd_tile)
-        c = jnp.float32(tile_size // 2)
-        b = basis_scr[...]
-        px = b[:, 1:2] - c
-        py = b[:, 2:3] - c
-        basc_scr[...] = jnp.concatenate(
-            [b[:, 0:1], px, py, px * px, px * py, py * py,
-             jnp.zeros((p, 2), jnp.float32)], axis=1)
+        # tile-center-shifted (tile_size <= 32): every entry is an integer
+        # in [-256, 256], EXACTLY representable in bf16 — so both the power
+        # matmul (3-pass coef split, _power_split) and the moments matmul
+        # (2-pass d_power hi/lo split) reach f32-grade accuracy in DEFAULT
+        # passes. The moment algebra is form-invariant under the shift
+        # (dx = (mx-c) - (px-c)).
+        basis_scr[...] = _pix_basis(tile_size, p, center_shift=exact)
 
     basis = basis_scr[...]
-    basis_c = basc_scr[...]
 
     for lt in range(tpb):
         _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref,
                   grad_hbm, scratch, gscratch, accscratch, sems, gsem,
-                  wsems, t_all, t_app, s_prefix, basis, basis_c,
+                  wsems, t_all, t_app, s_prefix, basis,
                   tile_size=tile_size, chunk=chunk, tpb=tpb)
 
 
 def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
               scratch, gscratch, accscratch, sems, gsem, wsems,
-              t_all, t_app, s_prefix, basis, basis_c, *,
+              t_all, t_app, s_prefix, basis, *,
               tile_size, chunk, tpb):
     p = tile_size * tile_size
+    exact = tile_size <= 32 and _EXACT_SPLIT
+    cshift = jnp.float32(tile_size // 2) if exact else jnp.float32(0.0)
     t = pl.program_id(0) * tpb + lt
     start = ranges_ref[t, 0]
     end = ranges_ref[t, 1]
     astart = (start // chunk) * chunk
 
-    tx = ranges_ref[t, 2].astype(jnp.float32)
-    ty = ranges_ref[t, 3].astype(jnp.float32)
+    tx = ranges_ref[t, 2].astype(jnp.float32) + cshift
+    ty = ranges_ref[t, 3].astype(jnp.float32) + cshift
 
     out_color = outpack_ref[lt, 0:3, :]                     # (3, P)
     out_t = outpack_ref[lt, 3:4, :]                         # (1, P)
@@ -499,19 +547,19 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             read_dma(nxt, (nxt // chunk) % NSLOTS).start()
 
         read_dma(offset, slot).wait()
-        data_t = scratch[slot].T                             # (CH, 16)
+        data = scratch[slot]                                 # (16, CH)
 
         row_ok = _row_mask(offset, start, end, chunk)
-        alpha, _, unclamped, (mx, my, cxx, cxy, cyy) = _chunk_geometry_t(
-            data_t, basis, tx, ty, row_ok
+        alpha, _, unclamped, (mx, my, cxx, cxy, cyy) = _chunk_geometry(
+            data, basis, tx, ty, row_ok, exact
         )
         cp = _cumprod_sublanes(1.0 - alpha, chunk)           # (CH, P)
         mask = (t_all[...] * cp) >= T_EPS
         t_before = t_app[...] * _shift_down_one(cp, 1.0)     # (CH, P)
         weight = jnp.where(mask, alpha * t_before, 0.0)
 
-        colors_t = data_t[:, ROW_R:ROW_B + 1]                # (CH, 3)
-        cg = _split_dot(colors_t, g_color, (((1,), (0,))))    # (CH, P)
+        colors_r = data[ROW_R:ROW_B + 1, :]                  # (3, CH)
+        cg = _split_dot(colors_r, g_color, (((0,), (0,))))    # (CH, P)
         dw = cg * weight
         if "scan2" in _ABLATE:
             s_incl = s_prefix[...] + dw
@@ -529,61 +577,60 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         d_power = d_alpha * alpha
 
         # All five mean/conic gradient reductions are linear combinations
-        # of the quadratic pixel moments S = d_power @ U — one MXU matmul
-        # replaces five (CH, P) elementwise products plus five reductions:
+        # of the quadratic pixel moments S = U^T @ d_power^T — one MXU
+        # matmul replaces five (CH, P) elementwise products plus five
+        # reductions:
         #   sum_p d_power * dx   = mx*S0 - Sx            (dx = mx - px)
         #   sum_p d_power * dx^2 = mx^2*S0 - 2mx*Sx + Sxx  etc.
+        # Row-form output (8, CH): the moment algebra and the gradient
+        # pack assembly below stay lane-resident (1, CH) rows — the
+        # (16, CH) write block needs NO transpose.
         if "moments" in _ABLATE:
-            moms = jnp.broadcast_to(d_power[:, 0:1], (chunk, 8)) * 0.0
-            mxs, mys = mx, my
-        elif tile_size <= 32:
+            moms = jnp.broadcast_to(d_power[0:1, :] * 0.0, (8, chunk))
+        elif exact:
             # two DEFAULT (bf16) passes over a hi/lo split of d_power
             # against the tile-center-shifted basis whose entries are
             # bf16-EXACT integers: same accuracy as a 6-pass HIGHEST
-            # matmul at 1/3 the MXU cost. The moment algebra below is
-            # form-invariant under the shift (dx = (mx-c) - (px-c)).
+            # matmul at 1/3 the MXU cost. mx/my already carry the center
+            # shift (tx/ty include it), matching the basis frame.
             d_hi = d_power.astype(jnp.bfloat16).astype(jnp.float32)
             d_lo = d_power - d_hi
             dot = lambda a: jax.lax.dot_general(
-                a, basis_c, dimension_numbers=(((1,), (0,)), ((), ())),
+                basis, a, dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            moms = dot(d_hi) + dot(d_lo)                      # (CH, 8)
-            c = jnp.float32(tile_size // 2)
-            mxs, mys = mx - c, my - c
+            moms = dot(d_hi) + dot(d_lo)                      # (8, CH)
         else:
             moms = jax.lax.dot_general(
-                d_power, basis,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                basis, d_power,
+                dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_MM_PRECISION,
-            )                                                 # (CH, 8)
-            mxs, mys = mx, my
-        s0, sx, sy = moms[:, 0:1], moms[:, 1:2], moms[:, 2:3]
-        sxx, sxy, syy = moms[:, 3:4], moms[:, 4:5], moms[:, 5:6]
-        ex = mxs * s0 - sx                                    # sum d_power*dx
-        ey = mys * s0 - sy
-        exx = mxs * mxs * s0 - 2.0 * mxs * sx + sxx
-        exy = mxs * mys * s0 - mxs * sy - mys * sx + sxy
-        eyy = mys * mys * s0 - 2.0 * mys * sy + syy
+            )                                                 # (8, CH)
+        s0, sx, sy = moms[0:1, :], moms[1:2, :], moms[2:3, :]
+        sxx, sxy, syy = moms[3:4, :], moms[4:5, :], moms[5:6, :]
+        ex = mx * s0 - sx                                     # sum d_power*dx
+        ey = my * s0 - sy
+        exx = mx * mx * s0 - 2.0 * mx * sx + sxx
+        exy = mx * my * s0 - mx * sy - my * sx + sxy
+        eyy = my * my * s0 - 2.0 * my * sy + syy
 
-        dcol = _split_dot(weight, g_color, (((1,), (1,))))   # (CH, 3)
+        dcol = _split_dot(g_color, weight, (((1,), (1,))))   # (3, CH)
         # opacity gradient from the zeroth moment: on the unclamped mask
         # alpha = op * expw exactly, so sum_p d_alpha*expw = s0 / op — no
         # (CH, P) d_op product or lane reduction needed. Padded/dead rows
         # have op = 0 AND s0 = 0; the max() guard keeps 0/0 at 0.
-        opc = data_t[:, ROW_OP:ROW_OP + 1]                    # (CH, 1)
-        dop_col = s0 / jnp.maximum(opc, 1e-12)                # (CH, 1)
-        grads_t = jnp.concatenate(
-            [-(cxx * ex + cxy * ey), -(cyy * ey + cxy * ex),
-             -0.5 * exx, -exy, -0.5 * eyy,
-             dcol, dop_col,
-             jnp.zeros((chunk, PACK_ROWS - ROW_OP - 1), jnp.float32)],
-            axis=1,
-        )                                                     # (CH, 16)
+        op_row = data[ROW_OP:ROW_OP + 1, :]                   # (1, CH)
+        dop_row = s0 / jnp.maximum(op_row, 1e-12)             # (1, CH)
         wait_prior_write(offset)
         wslot = (offset // chunk) % NSLOTS
-        gscratch[wslot] = grads_t.T                           # (16, CH)
+        gscratch[wslot] = jnp.concatenate(
+            [-(cxx * ex + cxy * ey), -(cyy * ey + cxy * ex),
+             -0.5 * exx, -exy, -0.5 * eyy,
+             dcol, dop_row,
+             jnp.zeros((PACK_ROWS - ROW_OP - 1, chunk), jnp.float32)],
+            axis=0,
+        )                                                     # (16, CH)
 
         write_grads(offset, offset < start)
 
@@ -690,7 +737,6 @@ def blend_image_bwd_pallas(
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
-                pltpu.VMEM((p, 8), jnp.float32),
                 pltpu.VMEM((p, 8), jnp.float32),
             ],
         ),

@@ -108,8 +108,8 @@ def _gather_perm_fwd(pack_ranked, ranks, slot_valid, capacity, rank_counts,
 def _gather_perm_bwd(capacity, max_seg, mask_dead, residuals, g):
     ranks, slot_valid, rank_counts, n = residuals
     cap = min(capacity, ranks.shape[0])
-    gt = g[:, :cap].T                                  # (cap, 16)
     if rank_counts is None:
+        gt = g[:, :cap].T                              # (cap, 16)
         # grads beyond the live prefix are exact zeros (the blend backward
         # zero-fills past coverage), making the prefix slice safe
         d_by_rank = jnp.zeros((n, PACK_ROWS), g.dtype).at[ranks[:cap]].add(
@@ -117,20 +117,24 @@ def _gather_perm_bwd(capacity, max_seg, mask_dead, residuals, g):
         )
         return (d_by_rank, None, None, None)
 
-    # rank-grouped gather + segmented reduce (see docstring)
+    # rank-grouped gather + segmented reduce (see docstring).
+    # Only rows 0:9 of the pack carry gradients — slice BEFORE the
+    # rank-grouped gather: its cost is per feature PLANE x per row on this
+    # layout, so gathering 16 planes when 9 carry signal wastes 7/16 of
+    # the single most expensive reduction op (~1.5 ms at 786k slots).
+    gt = g[:ROW_OP + 1, :cap].T                        # (cap, 9)
     rk = jnp.where(slot_valid[:cap], ranks[:cap], n)   # dead slots last
     # unstable: within-segment order is irrelevant to a segment sum
     rk_sorted, pos = jax.lax.sort(
         (rk, jnp.arange(cap, dtype=jnp.int32)), num_keys=1, is_stable=False
     )
-    x = gt[pos]                                        # (cap, 16) by rank
+    x9 = gt[pos]                                       # (cap, 9) by rank
     # segmented suffix accumulation: after log2(max_seg) masked shift-adds
     # each segment's FIRST row holds the segment total (keys are sorted,
     # so an equal key at distance s implies the whole gap is one segment).
-    # Only rows 0:9 of the pack carry gradients; one 9-wide scan keeps the
-    # segment heads in a single array so ONE [N]-row gather fetches them
-    # (an 8+1 split pays a second head gather, ~0.7 ms at 100k ranks).
-    x9 = x[:, :ROW_OP + 1]
+    # One 9-wide scan keeps the segment heads in a single array so ONE
+    # [N]-row gather fetches them (an 8+1 split pays a second head gather,
+    # ~0.7 ms at 100k ranks).
     shift = 1
     while shift < max(2, max_seg):
         same = jnp.pad(rk_sorted[shift:] == rk_sorted[:-shift], (0, shift))
