@@ -138,8 +138,10 @@ class LocalViewerCore:
     # ---- keyframe timeline -------------------------------------------------
 
     def add_keyframe(self):
+        # trajectory.json stores xyzw quats (scipy order, the reference
+        # viewer's export format); the camera holds wxyz
         self.keyframes.append({
-            "rotation": self.cam.rot.as_quat().tolist(),
+            "rotation": np.roll(self.cam.orientation, -1).tolist(),
             "look_at": list(map(float, self.cam.look_at)),
             "radius": float(self.cam.radius),
             "fovy": float(self.cam.fovy),
@@ -186,9 +188,7 @@ class LocalViewerCore:
             }, f, indent=2)
 
     def apply_frame(self, frame: dict):
-        from scipy.spatial.transform import Rotation
-
-        self.cam.rot = Rotation.from_quat(frame["rotation"])
+        self.cam.orientation = np.roll(np.asarray(frame["rotation"]), 1)
         self.cam.look_at = np.asarray(frame["look_at"])
         self.cam.radius = frame["radius"]
         self.cam.fovy = frame["fovy"]
