@@ -1,0 +1,246 @@
+#!/usr/bin/env python3
+"""Real-asset numeric parity harness vs the reference implementation.
+
+The reference's FLAME pickles and trained avatars are license-gated user
+downloads (reference doc/download.md:5-10), absent from this environment —
+so parity against reference-produced artifacts cannot run in CI. This CLI
+is the READY-TO-RUN harness for when the assets are present:
+
+  1. `--check_assets`: structural validation of the real FLAME assets
+     (vertex/face counts incl. teeth augmentation, teeth-face topology
+     checksum) — the invariants saved bindings depend on
+     (reference flame_model/flame.py:228-253,480-483).
+  2. `--point_path`: load a (reference-trained or ours) point_cloud.ply
+     [+ flame_param.npz], render the exchange camera set at 802x550, and
+     write renders + per-gaussian gradients of a fixed probe loss to
+     `--out`.
+  3. `--compare <dir>`: diff two dump directories (ours vs one produced by
+     tools/reference_side_dump.py inside the reference's CUDA env):
+     per-view RGB max|Δ| / PSNR and per-gaussian grad max|Δ|, against the
+     BASELINE.md correctness target (RGB + grads allclose on the 306
+     avatar).
+
+Exchange format: out/<view_i>.npy (f32 [3,H,W] render), out/grads.npz
+(d_xyz/d_opacity/d_scaling/d_rotation/d_f_dc), out/manifest.json
+(camera matrices, shapes). Cameras are a deterministic 8-view orbit.
+"""
+
+import argparse
+import hashlib
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+WIDTH, HEIGHT = 802, 550
+N_VIEWS = 8
+PROBE_SEED = 123
+
+
+def exchange_cameras():
+    """Deterministic orbit: N_VIEWS yaw angles, radius 1, fovy 20 deg —
+    matches the reference demo benchmark camera (fps_benchmark_demo.py)."""
+    from gaussianavatars_tpu.viewer.orbit_camera import OrbitCamera
+
+    cams = []
+    for i in range(N_VIEWS):
+        cam = OrbitCamera(WIDTH, HEIGHT, r=1.0, fovy=20.0,
+                          convention="opencv",
+                          save_path="/nonexistent_camera.json")
+        cam.orbit_y(2.0 * math.pi * i / N_VIEWS)
+        cams.append({
+            "world_view_transform": cam.world_view_transform.T.tolist(),
+            "full_proj_transform": cam.full_proj_transform.T.tolist(),
+            "fovx": math.radians(cam.fovx), "fovy": math.radians(cam.fovy),
+            "znear": cam.znear, "zfar": cam.zfar,
+        })
+    return cams
+
+
+def check_assets(asset_dir):
+    """Structural invariants of the REAL FLAME assets."""
+    from gaussianavatars_tpu.models.flame import FlameHead, _teeth_strip_faces
+
+    ok = True
+    fu, fl = _teeth_strip_faces()
+    h = hashlib.sha256(np.ascontiguousarray(
+        np.concatenate([fu, fl])).astype(np.int64).tobytes()).hexdigest()
+    expect = "c68158e59906bf9dd28654a0058caa7b60d8ee7561590de4b405aa78ec6dbd13"
+    print(f"teeth-strip sha256: {h} "
+          f"({'OK' if h == expect else 'MISMATCH vs reference tables'})")
+    ok &= h == expect
+
+    head = FlameHead(
+        300, 100,
+        flame_model_path=os.path.join(asset_dir, "flame2023.pkl"),
+        flame_lmk_embedding_path=os.path.join(
+            asset_dir, "landmark_embedding_with_eyes.npy"),
+        flame_template_mesh_path=os.path.join(
+            asset_dir, "head_template_mesh.obj"),
+        flame_parts_path=os.path.join(asset_dir, "FLAME_masks.pkl"),
+        add_teeth=True,
+    )
+    checks = {
+        "num_verts (5023+120)": (head.num_verts, 5143),
+        "num_faces (9976+168)": (head.num_faces, 10144),
+        "shapedirs": (tuple(head.shapedirs.shape), (5143, 3, 400)),
+        "lbs_weights": (tuple(head.lbs_weights.shape), (5143, 5)),
+    }
+    for name, (got, want) in checks.items():
+        good = got == want
+        ok &= good
+        print(f"{name}: {got} ({'OK' if good else f'want {want}'})")
+    return ok
+
+
+def load_model(point_path, sh_degree):
+    from pathlib import Path
+
+    from gaussianavatars_tpu.models.flame_gaussians import FlameGaussianModel
+    from gaussianavatars_tpu.models.gaussians import GaussianModel
+
+    bound = (Path(point_path).parent / "flame_param.npz").exists()
+    model = (FlameGaussianModel(sh_degree) if bound
+             else GaussianModel(sh_degree))
+    model.load_ply(point_path)
+    return model
+
+
+def dump(model, out_dir, timestep=0):
+    """Render the exchange cameras + probe gradients; write the dump."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianavatars_tpu.config import PipelineConfig
+    from gaussianavatars_tpu.data.cameras import MiniCam
+    from gaussianavatars_tpu.train.loop import camera_arrays, make_render_fn
+
+    os.makedirs(out_dir, exist_ok=True)
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    pipe = PipelineConfig(backend=backend, capacity=2 ** 21,
+                          chunk=128 if backend == "pallas" else 16)
+    bound = getattr(model, "binding", None) is not None
+    cams = exchange_cameras()
+    render = make_render_fn(model, pipe, WIDTH, HEIGHT,
+                            model.active_sh_degree)
+    flame_param = dict(model.flame_param) if bound else {}
+    binding = model.binding_device() if bound else None
+    active = model.active_mask()
+    bg = jnp.ones(3)
+    ts = jnp.asarray(timestep, jnp.int32)
+
+    for i, c in enumerate(cams):
+        mini = MiniCam(
+            width=WIDTH, height=HEIGHT, fovx=c["fovx"], fovy=c["fovy"],
+            znear=c["znear"], zfar=c["zfar"],
+            world_view_transform=np.asarray(c["world_view_transform"]),
+            full_proj_transform=np.asarray(c["full_proj_transform"]),
+            timestep=timestep,
+        )
+        img = render(model.params, flame_param, binding, active,
+                     camera_arrays(mini.to_params()), bg, ts)
+        np.save(os.path.join(out_dir, f"view_{i}.npy"),
+                np.asarray(img, np.float32))
+        print(f"rendered view {i}")
+
+    # probe gradients: sum((render - probe_pattern)^2) on view 0 — a fixed,
+    # reproducible surrogate for a training step's image loss
+    rng = np.random.default_rng(PROBE_SEED)
+    probe = jnp.asarray(rng.random((3, HEIGHT, WIDTH)).astype(np.float32))
+    mini = MiniCam(
+        width=WIDTH, height=HEIGHT, fovx=cams[0]["fovx"],
+        fovy=cams[0]["fovy"], znear=cams[0]["znear"], zfar=cams[0]["zfar"],
+        world_view_transform=np.asarray(cams[0]["world_view_transform"]),
+        full_proj_transform=np.asarray(cams[0]["full_proj_transform"]),
+        timestep=timestep,
+    )
+    ca = camera_arrays(mini.to_params())
+
+    def loss(params):
+        img = render(params, flame_param, binding, active, ca, bg, ts)
+        return jnp.sum((img - probe) ** 2)
+
+    g = jax.grad(loss)(model.params)
+    n = model.n_alive
+    np.savez(
+        os.path.join(out_dir, "grads.npz"),
+        d_xyz=np.asarray(g.xyz)[:n],
+        d_opacity=np.asarray(g.opacity)[:n],
+        d_scaling=np.asarray(g.scaling)[:n],
+        d_rotation=np.asarray(g.rotation)[:n],
+        d_f_dc=np.asarray(g.features_dc)[:n],
+    )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({
+            "width": WIDTH, "height": HEIGHT, "n_gaussians": int(n),
+            "timestep": timestep, "probe_seed": PROBE_SEED,
+            "cameras": cams,
+        }, f, indent=2)
+    print(f"dump written to {out_dir}")
+
+
+def compare(dir_a, dir_b):
+    """Diff two dumps; returns True when within BASELINE.md tolerances."""
+    ok = True
+    for i in range(N_VIEWS):
+        pa = os.path.join(dir_a, f"view_{i}.npy")
+        pb = os.path.join(dir_b, f"view_{i}.npy")
+        if not (os.path.exists(pa) and os.path.exists(pb)):
+            print(f"view {i}: missing ({pa if not os.path.exists(pa) else pb})")
+            ok = False
+            continue
+        a, b = np.load(pa), np.load(pb)
+        d = np.abs(a - b)
+        mse = float((d ** 2).mean())
+        psnr = 10 * math.log10(1.0 / max(mse, 1e-12))
+        good = d.max() < 2e-2 and psnr > 45.0
+        ok &= good
+        print(f"view {i}: max|d|={d.max():.2e} psnr={psnr:.1f} dB "
+              f"{'OK' if good else 'DIVERGES'}")
+    ga = np.load(os.path.join(dir_a, "grads.npz"))
+    gb = np.load(os.path.join(dir_b, "grads.npz"))
+    for k in ga.files:
+        if k not in gb.files:
+            print(f"{k}: missing in {dir_b}")
+            ok = False
+            continue
+        d = np.abs(ga[k] - gb[k]).max()
+        scale = max(np.abs(gb[k]).max(), 1e-12)
+        good = d / scale < 1e-2
+        ok &= good
+        print(f"{k}: max|d|={d:.3e} (rel {d / scale:.2e}) "
+              f"{'OK' if good else 'DIVERGES'}")
+    return ok
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--check_assets", type=str, default=None,
+                    help="FLAME asset dir with the REAL downloads")
+    ap.add_argument("--point_path", type=str, default=None)
+    ap.add_argument("--sh_degree", type=int, default=3)
+    ap.add_argument("--timestep", type=int, default=0)
+    ap.add_argument("--out", type=str, default="parity_dump")
+    ap.add_argument("--compare", nargs=2, metavar=("DIR_A", "DIR_B"),
+                    default=None)
+    args = ap.parse_args(argv)
+
+    import gaussianavatars_tpu.utils.jax_setup  # noqa: F401
+
+    ok = True
+    if args.check_assets:
+        ok &= check_assets(args.check_assets)
+    if args.point_path:
+        model = load_model(args.point_path, args.sh_degree)
+        dump(model, args.out, args.timestep)
+    if args.compare:
+        ok &= compare(*args.compare)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
