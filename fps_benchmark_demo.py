@@ -61,26 +61,11 @@ def main(argv=None):
         model.load_ply(args.point_path)
     else:
         print("[info] no --point_path: benchmarking a synthetic 100k scene")
-        import bench as bench_mod
-        from gaussianavatars_tpu.models.gaussians import (
-            GaussianModel, GaussianParams,
+        from gaussianavatars_tpu.benchmark import (
+            make_bench_scene, scene_to_model,
         )
 
-        scene = bench_mod.make_bench_scene()
-        n = scene["means3d"].shape[0]
-        model = GaussianModel(args.sh_degree)
-        shs = np.asarray(scene["shs"])
-        model.params = GaussianParams(
-            xyz=scene["means3d"],
-            features_dc=jnp.asarray(shs[:, :1]),
-            features_rest=jnp.asarray(shs[:, 1:]),
-            scaling=jnp.log(scene["scales"]),
-            rotation=scene["quats"],
-            opacity=jnp.log(
-                scene["opacities"] / (1 - scene["opacities"]))[:, None],
-        )
-        model.n_alive = n
-        model.active_sh_degree = args.sh_degree
+        model = scene_to_model(make_bench_scene(), args.sh_degree)
 
     bound = getattr(model, "binding", None) is not None
     cam = OrbitCamera(args.width, args.height, r=args.radius, fovy=args.fovy,
