@@ -117,18 +117,22 @@ def _gather_perm_bwd(capacity, max_seg, mask_dead, residuals, g):
         )
         return (d_by_rank, None, None, None)
 
-    # rank-grouped gather + segmented reduce (see docstring).
-    # Only rows 0:9 of the pack carry gradients — slice BEFORE the
-    # rank-grouped gather: its cost is per feature PLANE x per row on this
-    # layout, so gathering 16 planes when 9 carry signal wastes 7/16 of
-    # the single most expensive reduction op (~1.5 ms at 786k slots).
-    gt = g[:ROW_OP + 1, :cap].T                        # (cap, 9)
+    # rank-grouped MULTI-PAYLOAD sort + segmented reduce (see docstring).
+    # Only rows 0:9 of the pack carry gradients; the nine planes ride the
+    # rank sort as payloads. Measured on v5e: payloads are ~free (a
+    # 9-payload sort costs the same as a key+iota pair sort), while the
+    # alternative — pair-sort positions then ROW-GATHER the 28 MB stream
+    # into rank order — pays the ~4.5 ns/row random-HBM floor (~3.5 ms at
+    # 786k slots; the source is too big for XLA's VMEM gather staging,
+    # see profile_gather_staging.py).
     rk = jnp.where(slot_valid[:cap], ranks[:cap], n)   # dead slots last
     # unstable: within-segment order is irrelevant to a segment sum
-    rk_sorted, pos = jax.lax.sort(
-        (rk, jnp.arange(cap, dtype=jnp.int32)), num_keys=1, is_stable=False
+    sorted_all = jax.lax.sort(
+        (rk,) + tuple(g[i, :cap] for i in range(ROW_OP + 1)),
+        num_keys=1, is_stable=False,
     )
-    x9 = gt[pos]                                       # (cap, 9) by rank
+    rk_sorted = sorted_all[0]
+    x9 = jnp.stack(sorted_all[1:], axis=1)             # (cap, 9) by rank
     # segmented suffix accumulation: after log2(max_seg) masked shift-adds
     # each segment's FIRST row holds the segment total (keys are sorted,
     # so an equal key at distance s implies the whole gap is one segment).
