@@ -67,6 +67,60 @@ def inverse_sigmoid(x):
     return np.log(x / (1.0 - x))
 
 
+@jax.custom_vjp
+def _gather_frames(orient_mat, scaling, center, orient_quat, binding):
+    """Per-gaussian gather of the four face-frame tensors.
+
+    The hand-written VJP replaces four XLA scatter-adds (the autodiff
+    transpose of gathers-by-binding; ~16 ns/row each, ~8 ms/step at 100k
+    bound gaussians) with ONE sort-grouped segmented reduction: pair-sort
+    by binding, gather the packed 17-plane cotangent into face-grouped
+    order (the packed source is a few MB — inside XLA's VMEM gather
+    staging), segmented shift-add, and gather the F segment heads.
+    """
+    return (orient_mat[binding], scaling[binding], center[binding],
+            orient_quat[binding])
+
+
+def _gather_frames_fwd(orient_mat, scaling, center, orient_quat, binding):
+    out = _gather_frames(orient_mat, scaling, center, orient_quat, binding)
+    return out, (binding, orient_mat.shape[0])
+
+
+def _gather_frames_bwd(res, g):
+    binding, f = res
+    g_om, g_sc, g_ce, g_oq = g
+    c = binding.shape[0]
+    packed = jnp.concatenate(
+        [g_om.reshape(c, 9), g_sc, g_ce, g_oq], axis=1
+    )                                                   # (C, 17)
+    ksort, pos = jax.lax.sort(
+        (binding, jnp.arange(c, dtype=jnp.int32)), num_keys=1,
+        is_stable=False,
+    )
+    x = packed[pos]                                     # (C, 17) by face
+    # segmented suffix shift-add: each segment's FIRST row accumulates the
+    # segment total. log2(C) steps is the safe static bound (a face's
+    # gaussian count changes at every densify without a re-jit).
+    shift = 1
+    while shift < c:
+        same = jnp.pad(ksort[shift:] == ksort[:-shift], (0, shift))
+        x = x + jnp.where(same[:, None],
+                          jnp.pad(x[shift:], ((0, shift), (0, 0))), 0.0)
+        shift *= 2
+    faces = jnp.arange(f, dtype=binding.dtype)
+    starts = jnp.minimum(
+        jnp.searchsorted(ksort, faces, side="left").astype(jnp.int32), c - 1
+    )
+    live = (ksort[starts] == faces)[:, None]
+    d = jnp.where(live, x[starts], 0.0)                 # (F, 17)
+    return (d[:, :9].reshape(f, 3, 3), d[:, 9:10], d[:, 10:13],
+            d[:, 13:17], None)
+
+
+_gather_frames.defvjp(_gather_frames_fwd, _gather_frames_bwd)
+
+
 def world_space_gaussians(
     params: GaussianParams,
     binding: Optional[jnp.ndarray],
@@ -88,10 +142,11 @@ def world_space_gaussians(
         quats = quat_normalize(params.rotation)
         return params.xyz, scales, quats, opacities, shs
 
-    face_orient = frames.orient_mat[binding]        # [C, 3, 3]
-    face_scale = frames.scaling[binding]            # [C, 1]
-    face_center = frames.center[binding]            # [C, 3]
-    face_quat = quat_normalize(frames.orient_quat[binding])
+    face_orient, face_scale, face_center, fq = _gather_frames(
+        frames.orient_mat, frames.scaling, frames.center,
+        frames.orient_quat, binding,
+    )
+    face_quat = quat_normalize(fq)
 
     xyz = jnp.einsum(
         "nij,nj->ni", face_orient, params.xyz,
