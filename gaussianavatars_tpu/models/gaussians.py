@@ -109,8 +109,14 @@ def _gather_frames_bwd(res, g):
                           jnp.pad(x[shift:], ((0, shift), (0, 0))), 0.0)
         shift *= 2
     faces = jnp.arange(f, dtype=binding.dtype)
+    # method="sort": a single merge of (keys, queries) instead of the
+    # default batched binary-search while-loop (~17 serialized gather
+    # rounds, traced at >1 ms at 100k keys)
     starts = jnp.minimum(
-        jnp.searchsorted(ksort, faces, side="left").astype(jnp.int32), c - 1
+        jnp.searchsorted(
+            ksort, faces, side="left", method="sort"
+        ).astype(jnp.int32),
+        c - 1,
     )
     live = (ksort[starts] == faces)[:, None]
     d = jnp.where(live, x[starts], 0.0)                 # (F, 17)
