@@ -12,7 +12,11 @@ import numpy as np
 
 
 def make_salts(iters):
-    return [jnp.float32(1e-12 * (i + 1)) for i in range(iters)]
+    # magnitude matters: the salt must survive f32 rounding when added to
+    # O(0.1)-magnitude data (ulp(0.13) ~ 1.5e-8; 1e-12 would vanish and
+    # hand the dispatch cache identical values — measured as fictitious
+    # 0.03 ms "runs")
+    return [jnp.float32(1e-6 * (i + 1)) for i in range(iters)]
 
 
 def timeit(name, fn, *args, iters=30, verbose=True):

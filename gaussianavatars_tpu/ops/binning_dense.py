@@ -122,14 +122,17 @@ def _level_keys(
     elementwise kernel.
     """
     kmax = rect_w * rect_h
-    jx = jnp.arange(kmax, dtype=jnp.int32) % rect_w
-    jy = jnp.arange(kmax, dtype=jnp.int32) // rect_w
-    tx = x0[:, None] + jx[None, :]
-    ty = y0[:, None] + jy[None, :]
+    # slot-major (kmax, G) layout: the sort input order is irrelevant, and
+    # feature-major rows keep every intermediate a full-lane (1, G) vector
+    # (a (G, kmax<=9) row-major build wastes 119/128 of each vreg tile)
+    jx = jnp.arange(kmax, dtype=jnp.int32)[:, None] % rect_w
+    jy = jnp.arange(kmax, dtype=jnp.int32)[:, None] // rect_w
+    tx = x0[None, :] + jx
+    ty = y0[None, :] + jy
     slot_live = (
-        live[:, None]
-        & (jx[None, :] < rw[:, None])
-        & (jy[None, :] < rh[:, None])
+        live[None, :]
+        & (jx < rw[None, :])
+        & (jy < rh[None, :])
         & (tx < ntx)
         & (ty < nty)
     )
@@ -137,14 +140,14 @@ def _level_keys(
         ts = jnp.float32(tile_size)
         bx_lo = tx.astype(jnp.float32) * ts
         by_lo = (ty + tile_row_start).astype(jnp.float32) * ts
-        mxb = mx[:, None]
-        myb = my[:, None]
+        mxb = mx[None, :]
+        myb = my[None, :]
         dx = jnp.maximum(jnp.maximum(bx_lo - mxb, mxb - (bx_lo + ts - 1)), 0.0)
         dy = jnp.maximum(jnp.maximum(by_lo - myb, myb - (by_lo + ts - 1)), 0.0)
-        slot_live = slot_live & (dx * dx + dy * dy <= r2[:, None])
+        slot_live = slot_live & (dx * dx + dy * dy <= r2[None, :])
     tile_id = jnp.where(slot_live, ty * ntx + tx, num_tiles)
-    keys = (tile_id << RANK_BITS) | rank_ids[:, None]
-    row_counts = jnp.sum(slot_live.astype(jnp.int32), axis=1)   # (G,)
+    keys = (tile_id << RANK_BITS) | rank_ids[None, :]
+    row_counts = jnp.sum(slot_live.astype(jnp.int32), axis=0)   # (G,)
     return keys.reshape(-1), row_counts
 
 

@@ -586,7 +586,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         # pack assembly below stay lane-resident (1, CH) rows — the
         # (16, CH) write block needs NO transpose.
         if "moments" in _ABLATE:
-            moms = jnp.broadcast_to(d_power[0:1, :] * 0.0, (8, chunk))
+            moms = jnp.broadcast_to(d_power[0:1, 0:1] * 0.0, (8, chunk))
         elif exact:
             # two DEFAULT (bf16) passes over a hi/lo split of d_power
             # against the tile-center-shifted basis whose entries are
