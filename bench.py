@@ -136,7 +136,13 @@ def bench_unbound():
     lrs = jax.tree.map(lambda _: 1e-3, scene)
 
     @jax.jit
-    def full_step(scene, mu, nu, count):
+    def full_step(salt, scene, mu, nu, count):
+        # the per-call salt buffer is the only reliable cache-buster: an
+        # evolving Adam carry alone was still served from the dispatch
+        # cache on some runs (recycled buffer addresses), measured as
+        # fictitious ~0.1 ms steps
+        scene = dict(scene, means3d=scene["means3d"] + salt)
+
         def loss(scene):
             out = raster(scene)
             total, _ = compute_losses(
@@ -148,19 +154,15 @@ def bench_unbound():
         grads = jax.grad(loss)(scene)
         return optim.apply(scene, grads, mu, nu, count, lrs)
 
-    # thread ONE carry across all rounds: restarting each round from the
-    # same initial state would hand the tunnel's value-aware dispatch
-    # cache a replayable input sequence (measured: rounds 2-3 "ran" at
-    # ~0.1 ms/step), while an evolving Adam chain is inherently unique
-    c = full_step(scene, mu, nu, count)
+    c = full_step(salts[0], scene, mu, nu, count)
     jax.block_until_ready(c[0]["means3d"])
 
     best_ips = 0.0
     import time
     for _ in range(N_ROUNDS):
         t0 = time.perf_counter()
-        for _ in range(N_ITERS // 5):
-            c = full_step(*c)
+        for i in range(N_ITERS // 5):
+            c = full_step(salts[i + 1], *c)
         jax.block_until_ready(c[0]["means3d"])
         best_ips = max(best_ips,
                        (N_ITERS // 5) / (time.perf_counter() - t0))
@@ -229,21 +231,26 @@ def bench_bound():
     lrs = lr_pytree(opt_cfg, 1e-3, flame_tr, model.spatial_lr_scale or 1.0)
     bindd = model.binding_device()
 
-    def one(state):
-        # state evolves through Adam every call — inherently cache-proof;
-        # state buffers are donated, so the carry must thread forward
-        return step(state, flame_fixed, bindd, active, ca, gt, bg,
-                    np.int32(0), lrs)
+    # per-call salted camera (tiny numpy leaf): evolving Adam state alone
+    # is not reliably cache-proof (see full_step note in bench_unbound)
+    cams_salted = [
+        ca._replace(campos=np.asarray(ca.campos) + np.float32(1e-6 * (i + 1)))
+        for i in range(N_ITERS // 5 + 1)
+    ]
 
-    state, losses, probe = one(state)
+    def one(state, i):
+        return step(state, flame_fixed, bindd, active, cams_salted[i], gt,
+                    bg, np.int32(0), lrs)
+
+    state, losses, probe = one(state, 0)
     jax.block_until_ready(state.params.xyz)
     assert 0 <= int(probe) <= pipe.capacity, int(probe)
 
     best_ips = 0.0
     for _ in range(N_ROUNDS):
         t0 = time.perf_counter()
-        for _ in range(N_ITERS // 5):
-            state, losses, probe = one(state)
+        for i in range(N_ITERS // 5):
+            state, losses, probe = one(state, i + 1)
         jax.block_until_ready(state.params.xyz)
         best_ips = max(best_ips,
                        (N_ITERS // 5) / (time.perf_counter() - t0))

@@ -142,7 +142,16 @@ def world_space_gaussians(
     """
     scales = jnp.exp(params.scaling)
     opacities = jax.nn.sigmoid(params.opacity[:, 0])
-    shs = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
+    # FLAT [C, K*3] SH concat: the (C, 1|15, 3) -> flat reshapes are free
+    # row-major bitcasts, while a 3D concat invites XLA into permuted
+    # [C, K, 3] layouts whose staging copies cost milliseconds at 100k
+    # gaussians (projection consumes the flat view anyway; see
+    # ops/sh.eval_sh_flat)
+    c = params.features_dc.shape[0]
+    shs = jnp.concatenate(
+        [params.features_dc.reshape(c, -1),
+         params.features_rest.reshape(c, -1)], axis=1
+    )
 
     if binding is None:
         quats = quat_normalize(params.rotation)
