@@ -68,37 +68,34 @@ def inverse_sigmoid(x):
 
 
 @jax.custom_vjp
-def _gather_frames(orient_mat, scaling, center, orient_quat, binding):
-    """Per-gaussian gather of the four face-frame tensors.
+def _gather_frames(table, binding):
+    """ONE per-gaussian row gather of the packed (F, 17) face-frame table
+    (rows: orient_mat flat 0:9 | scaling 9 | center 10:13 | quat 13:17).
 
-    The hand-written VJP replaces four XLA scatter-adds (the autodiff
-    transpose of gathers-by-binding; ~16 ns/row each, ~8 ms/step at 100k
-    bound gaussians) with ONE sort-grouped segmented reduction: pair-sort
-    by binding, gather the packed 17-plane cotangent into face-grouped
+    Consumers slice attribute columns out of the (C, 17) result; the
+    slices fuse into their elementwise users, so one row gather replaces
+    four separate gathers-by-binding. The hand-written VJP replaces four
+    XLA scatter-adds (the autodiff transpose; ~16 ns/row each, ~8 ms/step
+    at 100k bound gaussians) with ONE sort-grouped segmented reduction:
+    pair-sort by binding, gather the 17-plane cotangent into face-grouped
     order (the packed source is a few MB — inside XLA's VMEM gather
     staging), segmented shift-add, and gather the F segment heads.
     """
-    return (orient_mat[binding], scaling[binding], center[binding],
-            orient_quat[binding])
+    return table[binding]
 
 
-def _gather_frames_fwd(orient_mat, scaling, center, orient_quat, binding):
-    out = _gather_frames(orient_mat, scaling, center, orient_quat, binding)
-    return out, (binding, orient_mat.shape[0])
+def _gather_frames_fwd(table, binding):
+    return table[binding], (binding, table.shape[0])
 
 
 def _gather_frames_bwd(res, g):
     binding, f = res
-    g_om, g_sc, g_ce, g_oq = g
     c = binding.shape[0]
-    packed = jnp.concatenate(
-        [g_om.reshape(c, 9), g_sc, g_ce, g_oq], axis=1
-    )                                                   # (C, 17)
     ksort, pos = jax.lax.sort(
         (binding, jnp.arange(c, dtype=jnp.int32)), num_keys=1,
         is_stable=False,
     )
-    x = packed[pos]                                     # (C, 17) by face
+    x = g[pos]                                          # (C, 17) by face
     # segmented suffix shift-add: each segment's FIRST row accumulates the
     # segment total. log2(C) steps is the safe static bound (a face's
     # gaussian count changes at every densify without a re-jit).
@@ -120,8 +117,7 @@ def _gather_frames_bwd(res, g):
     )
     live = (ksort[starts] == faces)[:, None]
     d = jnp.where(live, x[starts], 0.0)                 # (F, 17)
-    return (d[:, :9].reshape(f, 3, 3), d[:, 9:10], d[:, 10:13],
-            d[:, 13:17], None)
+    return (d, None)
 
 
 _gather_frames.defvjp(_gather_frames_fwd, _gather_frames_bwd)
@@ -157,17 +153,26 @@ def world_space_gaussians(
         quats = quat_normalize(params.rotation)
         return params.xyz, scales, quats, opacities, shs
 
-    face_orient, face_scale, face_center, fq = _gather_frames(
-        frames.orient_mat, frames.scaling, frames.center,
-        frames.orient_quat, binding,
+    # pack the face-frame attributes into one (F, 17) table (F is small;
+    # this concat is differentiable, so frame cotangents flow out of the
+    # custom-VJP gather's packed (F, 17) gradient automatically)
+    f = frames.orient_mat.shape[0]
+    table = jnp.concatenate(
+        [frames.orient_mat.reshape(f, 9), frames.scaling, frames.center,
+         frames.orient_quat], axis=1,
     )
-    face_quat = quat_normalize(fq)
+    rows = _gather_frames(table, binding)               # (C, 17)
+    face_scale = rows[:, 9:10]
+    face_center = rows[:, 10:13]
+    face_quat = quat_normalize(rows[:, 13:17])
 
-    xyz = jnp.einsum(
-        "nij,nj->ni", face_orient, params.xyz,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    means3d = xyz * face_scale + face_center
+    # componentized R @ x (full-f32 VPU mul-adds; no [C,3,3] einsum whose
+    # layouts XLA shuffles with multi-ms copies)
+    x, y, z = params.xyz[:, 0], params.xyz[:, 1], params.xyz[:, 2]
+    wx = rows[:, 0] * x + rows[:, 1] * y + rows[:, 2] * z
+    wy = rows[:, 3] * x + rows[:, 4] * y + rows[:, 5] * z
+    wz = rows[:, 6] * x + rows[:, 7] * y + rows[:, 8] * z
+    means3d = jnp.stack([wx, wy, wz], axis=-1) * face_scale + face_center
     scales = scales * face_scale
     quats = quat_multiply(face_quat, quat_normalize(params.rotation))
     return means3d, scales, quats, opacities, shs

@@ -155,34 +155,20 @@ def test_densify_clone_split_prune():
 
 def test_gather_frames_vjp_matches_scatter_autodiff():
     """The sort-grouped segmented reduction behind _gather_frames must
-    equal the scatter-add transpose of plain gathers (incl. empty faces)."""
+    equal the scatter-add transpose of a plain gather (incl. empty faces)."""
     from gaussianavatars_tpu.models.gaussians import _gather_frames
 
     rng = np.random.default_rng(0)
     f, c = 37, 256
-    om = jnp.asarray(rng.normal(size=(f, 3, 3)).astype(np.float32))
-    sc = jnp.asarray(rng.normal(size=(f, 1)).astype(np.float32))
-    ce = jnp.asarray(rng.normal(size=(f, 3)).astype(np.float32))
-    oq = jnp.asarray(rng.normal(size=(f, 4)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(f, 17)).astype(np.float32))
     # face 0 left empty on purpose (zero-gaussian segment)
     binding = jnp.asarray(rng.integers(1, f, c).astype(np.int32))
-    w = [jnp.asarray(rng.normal(size=s).astype(np.float32))
-         for s in ((c, 3, 3), (c, 1), (c, 3), (c, 4))]
+    w = jnp.asarray(rng.normal(size=(c, 17)).astype(np.float32))
 
-    def loss(gather):
-        def go(om, sc, ce, oq):
-            outs = gather(om, sc, ce, oq)
-            return sum(jnp.sum(x * y) for x, y in zip(outs, w))
-        return go
-
-    custom = loss(lambda *a: _gather_frames(*a, binding))
-    plain = loss(lambda om, sc, ce, oq: (
-        om[binding], sc[binding], ce[binding], oq[binding]))
-    g1 = jax.grad(custom, argnums=(0, 1, 2, 3))(om, sc, ce, oq)
-    g2 = jax.grad(plain, argnums=(0, 1, 2, 3))(om, sc, ce, oq)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=2e-5)
+    g1 = jax.grad(lambda t: jnp.sum(_gather_frames(t, binding) * w))(table)
+    g2 = jax.grad(lambda t: jnp.sum(t[binding] * w))(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_cache_token_is_unique_across_lifetimes():
