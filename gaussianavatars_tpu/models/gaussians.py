@@ -67,60 +67,24 @@ def inverse_sigmoid(x):
     return np.log(x / (1.0 - x))
 
 
-@jax.custom_vjp
 def _gather_frames(table, binding):
     """ONE per-gaussian row gather of the packed (F, 17) face-frame table
     (rows: orient_mat flat 0:9 | scaling 9 | center 10:13 | quat 13:17).
 
-    Consumers slice attribute columns out of the (C, 17) result; the
-    slices fuse into their elementwise users, so one row gather replaces
-    four separate gathers-by-binding. The hand-written VJP replaces four
-    XLA scatter-adds (the autodiff transpose; ~16 ns/row each, ~8 ms/step
-    at 100k bound gaussians) with ONE sort-grouped segmented reduction:
-    pair-sort by binding, gather the 17-plane cotangent into face-grouped
-    order (the packed source is a few MB — inside XLA's VMEM gather
-    staging), segmented shift-add, and gather the F segment heads.
+    The PACKING is the optimization: consumers slice attribute columns
+    out of the (C, 17) result (the slices fuse into their elementwise
+    users), so one row gather replaces four separate gathers-by-binding —
+    and, crucially, the autodiff transpose becomes ONE packed row-major
+    scatter-add instead of four (the [F,3,3]-shaped d_orient scatter
+    alone traced at 5.6 ms/step at 100k bound gaussians; the packed
+    scatter measures ~1.9 ms isolated). A sort-grouped segmented
+    reduction (pair-sort by binding + shift-add scan + segment-head
+    pick) was measured SLOWER than the packed scatter at this shape
+    (2.6 vs 1.9 ms isolated) because the scan must run log2(C) steps to
+    bound unknown segment lengths — do not resurrect it without new
+    measurements.
     """
     return table[binding]
-
-
-def _gather_frames_fwd(table, binding):
-    return table[binding], (binding, table.shape[0])
-
-
-def _gather_frames_bwd(res, g):
-    binding, f = res
-    c = binding.shape[0]
-    ksort, pos = jax.lax.sort(
-        (binding, jnp.arange(c, dtype=jnp.int32)), num_keys=1,
-        is_stable=False,
-    )
-    x = g[pos]                                          # (C, 17) by face
-    # segmented suffix shift-add: each segment's FIRST row accumulates the
-    # segment total. log2(C) steps is the safe static bound (a face's
-    # gaussian count changes at every densify without a re-jit).
-    shift = 1
-    while shift < c:
-        same = jnp.pad(ksort[shift:] == ksort[:-shift], (0, shift))
-        x = x + jnp.where(same[:, None],
-                          jnp.pad(x[shift:], ((0, shift), (0, 0))), 0.0)
-        shift *= 2
-    faces = jnp.arange(f, dtype=binding.dtype)
-    # method="sort": a single merge of (keys, queries) instead of the
-    # default batched binary-search while-loop (~17 serialized gather
-    # rounds, traced at >1 ms at 100k keys)
-    starts = jnp.minimum(
-        jnp.searchsorted(
-            ksort, faces, side="left", method="sort"
-        ).astype(jnp.int32),
-        c - 1,
-    )
-    live = (ksort[starts] == faces)[:, None]
-    d = jnp.where(live, x[starts], 0.0)                 # (F, 17)
-    return (d, None)
-
-
-_gather_frames.defvjp(_gather_frames_fwd, _gather_frames_bwd)
 
 
 def world_space_gaussians(

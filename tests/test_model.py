@@ -153,22 +153,73 @@ def test_densify_clone_split_prune():
     assert state.mu.xyz.shape == m.params.xyz.shape
 
 
-def test_gather_frames_vjp_matches_scatter_autodiff():
-    """The sort-grouped segmented reduction behind _gather_frames must
-    equal the scatter-add transpose of a plain gather (incl. empty faces)."""
-    from gaussianavatars_tpu.models.gaussians import _gather_frames
+def test_packed_binding_chain_matches_unpacked():
+    """world_space_gaussians' packed frame-table gather + componentized
+    rotation must match the naive four-gather/einsum formulation in both
+    values and frame gradients."""
+    from gaussianavatars_tpu.ops.quaternion import (
+        quat_multiply, quat_normalize,
+    )
 
     rng = np.random.default_rng(0)
-    f, c = 37, 256
-    table = jnp.asarray(rng.normal(size=(f, 17)).astype(np.float32))
-    # face 0 left empty on purpose (zero-gaussian segment)
-    binding = jnp.asarray(rng.integers(1, f, c).astype(np.int32))
-    w = jnp.asarray(rng.normal(size=(c, 17)).astype(np.float32))
+    f, c = 23, 96
+    m = GaussianModel(sh_degree=1, capacity_granularity=c)
+    binding_np = rng.integers(0, f, c).astype(np.int32)
+    m.binding = binding_np
+    counter = np.zeros(f, np.int32)
+    np.add.at(counter, binding_np, 1)
+    m.binding_counter = counter
+    m.create_from_pcd(None, None, spatial_lr_scale=1.0)
+    m.params = m.params._replace(
+        xyz=jnp.asarray(rng.normal(size=(c, 3)).astype(np.float32)))
 
-    g1 = jax.grad(lambda t: jnp.sum(_gather_frames(t, binding) * w))(table)
-    g2 = jax.grad(lambda t: jnp.sum(t[binding] * w))(table)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                               rtol=2e-5, atol=2e-5)
+    def rand_rot(n):
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    from gaussianavatars_tpu.ops.quaternion import quat_to_rotmat
+    oq = jnp.asarray(rand_rot(f))
+    frames = FaceFrames(
+        center=jnp.asarray(rng.normal(size=(f, 3)).astype(np.float32)),
+        orient_mat=quat_to_rotmat(oq),
+        orient_quat=oq,
+        scaling=jnp.asarray(
+            rng.uniform(0.5, 2.0, (f, 1)).astype(np.float32)),
+    )
+    binding = jnp.asarray(binding_np)
+
+    def naive(frames):
+        om = frames.orient_mat[binding]
+        sc = frames.scaling[binding]
+        ce = frames.center[binding]
+        fq = quat_normalize(frames.orient_quat[binding])
+        xyz = jnp.einsum("nij,nj->ni", om, m.params.xyz,
+                         precision=jax.lax.Precision.HIGHEST)
+        means = xyz * sc + ce
+        scl = jnp.exp(m.params.scaling) * sc
+        qts = quat_multiply(fq, quat_normalize(m.params.rotation))
+        return means, scl, qts
+
+    def packed(frames):
+        means, scl, qts, _, _ = world_space_gaussians(
+            m.params, binding, frames)
+        return means, scl, qts
+
+    w = [jnp.asarray(rng.normal(size=s).astype(np.float32))
+         for s in ((c, 3), (c, 3), (c, 4))]
+
+    for a, b in zip(packed(frames), naive(frames)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda fr: sum(jnp.sum(x * y) for x, y in zip(fn(fr), w))
+
+    g1 = jax.grad(loss(packed))(frames)
+    g2 = jax.grad(loss(naive))(frames)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
 
 
 def test_cache_token_is_unique_across_lifetimes():
