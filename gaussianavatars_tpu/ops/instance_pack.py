@@ -77,11 +77,13 @@ def gather_instances_perm(pack_ranked, ranks, slot_valid, capacity,
         measured: a random read-modify-write pair per row).
       * rank_counts given ([N] live slots per rank, from
         binning_dense.rank_live_counts) + max_seg (static bound on slots
-        per gaussian, e.g. the tile count): pair-sort the prefix by rank
-        (pair sorts cost the same as payload-free sorts on TPU), gather
-        rows into rank-grouped order (~5 ns/row), segmented shift-add so
-        each segment's total lands on its first row, and gather the N
-        segment heads. Random accesses drop from 2/row to ~1/row.
+        per gaussian, e.g. the tile count): the nine gradient-carrying
+        planes RIDE the rank sort as payloads (measured: a 9-payload sort
+        costs ~the same as a key+iota pair sort, while a rank-order row
+        gather of the 28 MB stream pays the ~4.5 ns/row random-HBM floor
+        — the source exceeds XLA's VMEM gather-staging cliff), then a
+        segmented shift-add lands each segment's total on its first row
+        and ONE [N]-row gather fetches the heads.
         CAVEAT: if true demand exceeded `capacity` (overflow probe firing),
         counts and the truncated stream disagree and this step's gradients
         are finite but wrong until the host re-buckets — the same
