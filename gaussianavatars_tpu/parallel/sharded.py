@@ -58,7 +58,7 @@ def _gathered_render(
     collectives that XLA's latency-hiding scheduler can overlap with the
     (long) backward-blend compute chain instead of one monolithic
     psum_scatter at the very end — the ">=85% scaling" mechanism
-    (SURVEY.md §7 hard part 5; docs/PARALLEL.md).
+    (SURVEY.md §7 hard part 5; docs/multichip.md).
     """
     means3d, scales, quats, opac, shs = world_space_gaussians(
         params_shard, binding_shard, frames
