@@ -12,9 +12,14 @@ semantics being reproduced), mapped onto TPU hardware:
     lanes masked - so the stream needs NO per-tile padding
   * instance reads are double-buffered: the next chunk's DMA is in flight
     while the current chunk computes
-  * alpha/transmittance math is (P, CHUNK)-shaped VPU work (P = 256 pixels
-    on sublanes); color accumulation and the backward reductions are
-    dot_generals on the MXU; the in-chunk cumsum is a triangular matmul
+  * ROW FORM: per-instance quantities live as (1, CHUNK) lane-resident
+    rows sliced straight off the (16, CHUNK) chunk as DMA'd — no
+    per-chunk transposes, no 1-lane column ops. alpha/transmittance math
+    is (CHUNK, P) VPU work with the tile's pixels on LANES; the power
+    quadratic, color accumulation and the backward moment reductions are
+    MXU dot_generals (bf16-split against a bf16-exact center-shifted
+    pixel basis, see _power_split); in-chunk cum{prod,sum} are log-shift
+    roll scans
   * the early-out is a real `while` loop: saturated tiles stop issuing
     DMAs (the CUDA done-flag work skipping)
   * the backward writes per-instance gradient chunks; a chunk shared with
