@@ -258,3 +258,42 @@ def test_single_chip_slab_render_matches_full_frame(tmp_path):
     assert imgs[0].shape == (3, 80, 96)
     np.testing.assert_allclose(imgs[2], imgs[0], atol=1e-6)
     np.testing.assert_allclose(imgs[3], imgs[0], atol=1e-6)
+
+
+def test_python_debug_paths_match_default_render(tmp_path):
+    """pipe.convert_SHs_python / compute_cov3D_python (the reference's
+    debug pipeline flags, gaussian_renderer/__init__.py:63-81) must
+    reproduce the default fused paths."""
+    from gaussianavatars_tpu.config import PipelineConfig
+    from gaussianavatars_tpu.models.gaussians import (
+        GaussianModel, GaussianParams,
+    )
+    from gaussianavatars_tpu.train.loop import camera_arrays, make_render_fn
+    from .utils import make_camera, make_scene
+
+    scene = make_scene(n=256, seed=9, sh_degree=2, spread=0.8,
+                       scale_mean=-1.6)
+    model = GaussianModel(2)
+    model.params = GaussianParams(
+        xyz=scene["means3d"], features_dc=scene["shs"][:, :1],
+        features_rest=scene["shs"][:, 1:],
+        scaling=jnp.log(scene["scales"]), rotation=scene["quats"],
+        opacity=jnp.log(scene["opacities"] / (1 - scene["opacities"]))[:, None],
+    )
+    model.n_alive = 256
+    model.active_sh_degree = 2
+
+    p = make_camera(width=64, height=48, dist=5.0)
+    args = (model.params, {}, None, model.active_mask(), camera_arrays(p),
+            jnp.ones(3), jnp.int32(0))
+    imgs = {}
+    for flags in ((False, False), (True, False), (False, True), (True, True)):
+        pipe = PipelineConfig(backend="jnp", capacity=65536, chunk=8,
+                              tile_size=16, convert_SHs_python=flags[0],
+                              compute_cov3D_python=flags[1])
+        imgs[flags] = np.asarray(make_render_fn(model, pipe, 64, 48, 2)(*args))
+    base = imgs[(False, False)]
+    assert np.isfinite(base).all()
+    for flags, img in imgs.items():
+        np.testing.assert_allclose(img, base, atol=2e-5,
+                                   err_msg=str(flags))
