@@ -23,6 +23,7 @@ at 802x550 on the RTX-class hardware the reference targets,
 doc/installation.md:3-6).
 """
 
+import functools
 import json
 import sys
 
@@ -65,15 +66,28 @@ def emit(metric, value, unit, vs_baseline):
     _LINES.append(line)
 
 
+def autosize_capacity(total: int, granularity: int = 65536) -> int:
+    """Round the probed live-instance demand up one bucket (the reduction's
+    sorts/gathers scale with the static capacity, so headroom stays tight
+    without any hardcoded magic constant)."""
+    return max(1, -(-int(total) // granularity)) * granularity
+
+
 def bench_unbound():
-    from gaussianavatars_tpu.ops.rasterize_tiles import rasterize
+    from gaussianavatars_tpu.ops.rasterize_tiles import instance_demand, rasterize
 
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     scene = make_bench_scene()
     cam = bench_camera()
     bg = jnp.ones(3)
 
-    capacity = 786_432  # live bucket (total 751839); gathers are row-bound
+    # pre-size the live bucket from a capacity-free demand probe
+    demand, overflow = jax.jit(functools.partial(
+        instance_demand, sh_degree=SH_DEGREE, camera=cam, tile_size=32,
+    ))(scene["means3d"], scene["scales"], scene["quats"],
+       scene["opacities"], scene["shs"])
+    assert int(overflow) == 0, f"dense rect-bucket overflow: {int(overflow)}"
+    capacity = autosize_capacity(int(demand))
 
     def raster(scene):
         return rasterize(
@@ -184,15 +198,38 @@ def bench_bound():
 
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     model = make_bound_bench_model()
-    # live demand is 823955 instances at this camera; the reduction's
-    # sorts/scans scale with the bucket, so keep headroom tight (~3%)
-    pipe = PipelineConfig(backend=backend, capacity=13 * 65536,
-                          chunk=128 if backend == "pallas" else 16)
     opt_cfg = OptimizationConfig()
     cam = bench_camera()
     ca = camera_arrays(cam)
     bg = jnp.ones(3)
     n = model.n_alive
+
+    # pre-size the live bucket from a capacity-free demand probe at the
+    # bench camera/timestep (the reduction's sorts/scans scale with the
+    # bucket, so headroom stays one granularity bucket, no magic constant)
+    from gaussianavatars_tpu.models.flame_gaussians import (
+        face_frames_from_verts,
+    )
+    from gaussianavatars_tpu.models.gaussians import world_space_gaussians
+    from gaussianavatars_tpu.ops.rasterize_tiles import instance_demand
+
+    _binding = model.binding_device()
+    _active = model.active_mask()
+    _flame_param = dict(model.flame_param)
+
+    @jax.jit
+    def _demand(params):
+        verts = model.verts_at(_flame_param, 0)
+        frames = face_frames_from_verts(verts[0], model.flame_model.j_faces)
+        m, s, q, o, sh = world_space_gaussians(params, _binding, frames)
+        return instance_demand(
+            m, s, q, o, sh, SH_DEGREE, cam, tile_size=32, active=_active)
+
+    demand, overflow = _demand(model.params)
+    assert int(overflow) == 0, f"dense rect-bucket overflow: {int(overflow)}"
+    pipe = PipelineConfig(backend=backend,
+                          capacity=autosize_capacity(int(demand)),
+                          chunk=128 if backend == "pallas" else 16)
 
     # ---- bound render fps ---------------------------------------------------
     render = make_render_fn(model, pipe, WIDTH, HEIGHT, SH_DEGREE)

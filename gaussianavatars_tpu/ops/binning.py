@@ -73,6 +73,47 @@ def compute_tile_rects(
     return x0, y0, x1, y1
 
 
+def compute_tile_rects_ext(
+    means2d: jnp.ndarray,
+    ext_x: jnp.ndarray,
+    ext_y: jnp.ndarray,
+    radii: jnp.ndarray,
+    width: int,
+    height: int,
+    tile_size: int,
+):
+    """Tile AABB from per-axis half extents, intersected with the reference
+    square rect (anisotropic tightening).
+
+    The per-axis box uses a CORRECT covering rule (floor((p+ext)/ts)+1):
+    the reference's `(p + r + ts - 1) / ts` truncation drops the last tile
+    whenever frac(p + r) < 1, and a pixel with q <= tau can live there. The
+    intersection with `compute_tile_rects(radii)` keeps coverage a SUBSET
+    of the reference rect contract (so images match the oracle bit-exactly)
+    while the ext box prunes the minor-axis tiles of elongated splats.
+    Conservative w.r.t. the blend's alpha test when
+    ext = min(radius, sqrt(tau * cov_axis)) (see ops/projection.py).
+    """
+    ntx, nty = tile_grid(width, height, tile_size)
+    rx = ext_x.astype(means2d.dtype)
+    ry = ext_y.astype(means2d.dtype)
+    x0e = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_size), 0, ntx)
+    y0e = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_size), 0, nty)
+    x1e = jnp.clip(jnp.floor((means2d[:, 0] + rx) / tile_size) + 1, 0, ntx)
+    y1e = jnp.clip(jnp.floor((means2d[:, 1] + ry) / tile_size) + 1, 0, nty)
+    x0r, y0r, x1r, y1r = compute_tile_rects(means2d, radii, width, height,
+                                            tile_size)
+    x0 = jnp.maximum(x0e.astype(jnp.int32), x0r)
+    y0 = jnp.maximum(y0e.astype(jnp.int32), y0r)
+    x1 = jnp.minimum(x1e.astype(jnp.int32), x1r)
+    y1 = jnp.minimum(y1e.astype(jnp.int32), y1r)
+    # zero-extent (culled) gaussians must yield EMPTY rects, not a 1-tile one
+    empty = (rx <= 0.0) | (ry <= 0.0)
+    x1 = jnp.where(empty, x0, x1)
+    y1 = jnp.where(empty, y0, y1)
+    return x0, y0, x1, y1
+
+
 def _fill_forward_owner(first_slots: jnp.ndarray, values: jnp.ndarray,
                         present: jnp.ndarray, capacity: int) -> jnp.ndarray:
     """owner[s] = values[i] for the last i with first_slots[i] <= s.

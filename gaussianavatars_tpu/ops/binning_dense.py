@@ -56,17 +56,17 @@ def default_levels(ntx: int, nty: int) -> tuple[tuple[int, int, int | None], ...
     them on `level_overflow` like the capacity bucket. Rects clamp to the
     grid, and levels made redundant by a small grid are dropped.
     """
-    # sized from measured avatar-like rect distributions (~66% of live
-    # gaussians fit 3x3 tiles, ~93% fit 4x4, p99 ~6x6 at tile_size 32):
-    # slot count — the unit every sort/build cost scales with — drops ~20%
-    # vs a (4,4)/(8,8) plan while buckets keep 2-5x headroom over the
+    # sized from measured avatar-like rect distributions under the
+    # anisotropic ext rects (~74% of live gaussians fit 3x3 tiles, ~95%
+    # fit 4x4, p99 area ~20 at tile_size 32): slot count — the unit every
+    # sort/build cost scales with — keeps ~1.3-2x bucket headroom over the
     # measured routing counts (overflow still probed + host-grown)
     plan = [
         (min(3, ntx), min(3, nty), None),
-        (min(4, ntx), min(4, nty), 32768),
-        (min(6, ntx), min(6, nty), 8192),
-        (min(10, ntx), min(10, nty), 1024),
-        (ntx, nty, 128),
+        (min(4, ntx), min(4, nty), 24576),
+        (min(6, ntx), min(6, nty), 6144),
+        (min(10, ntx), min(10, nty), 768),
+        (ntx, nty, 96),
     ]
     out = [plan[0]]
     for w, h, bucket in plan[1:]:
@@ -111,15 +111,45 @@ class DenseBinning(NamedTuple):
         return self.perm[self.ranks]
 
 
+def _box_qmin(ax, bx, ay, by, cxx, cxy, cyy, rx, ry):
+    """Exact min of q(d) = cxx dx^2 + 2 cxy dx dy + cyy dy^2 over the box
+    [ax,bx] x [ay,by] (coordinates relative to the gaussian center).
+
+    q is convex (PD conic): if the origin is inside the box the min is 0;
+    otherwise it lies on one of the four edges, where the 1D restriction is
+    a clamped quadratic with closed-form argmin (rx = -cxy/cyy is the
+    unconstrained y* per unit x, ry = -cxy/cxx symmetric). All elementwise,
+    fuses into the key-build kernel.
+    """
+    def edge_x(e):
+        ystar = jnp.clip(rx * e, ay, by)
+        return (cxx * e + 2.0 * cxy * ystar) * e + cyy * ystar * ystar
+
+    def edge_y(e):
+        xstar = jnp.clip(ry * e, ax, bx)
+        return (cyy * e + 2.0 * cxy * xstar) * e + cxx * xstar * xstar
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(ax), edge_x(bx)),
+        jnp.minimum(edge_y(ay), edge_y(by)),
+    )
+    inside = (ax <= 0.0) & (bx >= 0.0) & (ay <= 0.0) & (by >= 0.0)
+    return jnp.where(inside, 0.0, qmin)
+
+
 def _level_keys(
-    rank_ids, x0, y0, rw, rh, live, mx, my, r2, rect_w, rect_h,
+    rank_ids, x0, y0, rw, rh, live, cull, rect_w, rect_h,
     num_tiles, ntx, nty, tile_size, tile_row_start,
 ):
     """Dense (G, RW*RH) slot grid for one level -> flat packed keys.
 
     All inputs are per-routed-gaussian arrays of length G; slot tile
     offsets are compile-time constants so everything here fuses into one
-    elementwise kernel.
+    elementwise kernel. `cull` is None, a circle test (mx, my, r2), or an
+    exact ellipse test (mx, my, cxx, cxy, cyy, tau): a tile whose pixel box
+    has min_d q(d) > tau holds no pixel with alpha >= 1/255, so dropping it
+    is image-exact — and for anisotropic splats it prunes the rect's
+    off-axis corners the circle bound cannot.
     """
     kmax = rect_w * rect_h
     # slot-major (kmax, G) layout: the sort input order is irrelevant, and
@@ -136,15 +166,33 @@ def _level_keys(
         & (tx < ntx)
         & (ty < nty)
     )
-    if r2 is not None:
+    if cull is not None:
         ts = jnp.float32(tile_size)
         bx_lo = tx.astype(jnp.float32) * ts
         by_lo = (ty + tile_row_start).astype(jnp.float32) * ts
-        mxb = mx[None, :]
-        myb = my[None, :]
-        dx = jnp.maximum(jnp.maximum(bx_lo - mxb, mxb - (bx_lo + ts - 1)), 0.0)
-        dy = jnp.maximum(jnp.maximum(by_lo - myb, myb - (by_lo + ts - 1)), 0.0)
-        slot_live = slot_live & (dx * dx + dy * dy <= r2[None, :])
+        if len(cull) == 3:
+            mx, my, r2 = cull
+            mxb = mx[None, :]
+            myb = my[None, :]
+            dx = jnp.maximum(
+                jnp.maximum(bx_lo - mxb, mxb - (bx_lo + ts - 1)), 0.0)
+            dy = jnp.maximum(
+                jnp.maximum(by_lo - myb, myb - (by_lo + ts - 1)), 0.0)
+            slot_live = slot_live & (dx * dx + dy * dy <= r2[None, :])
+        else:
+            mx, my, cxx, cxy, cyy, tau = cull
+            # per-gaussian 1D argmin slopes (G-sized, hoisted out of the
+            # (kmax, G) grid); conic diagonals are strictly positive for
+            # live gaussians (0.3 px dilation), the guard covers dead rows
+            rx = -cxy / jnp.maximum(cyy, 1e-12)
+            ry = -cxy / jnp.maximum(cxx, 1e-12)
+            qmin = _box_qmin(
+                bx_lo - mx[None, :], bx_lo + ts - 1 - mx[None, :],
+                by_lo - my[None, :], by_lo + ts - 1 - my[None, :],
+                cxx[None, :], cxy[None, :], cyy[None, :],
+                rx[None, :], ry[None, :],
+            )
+            slot_live = slot_live & (qmin <= tau[None, :])
     tile_id = jnp.where(slot_live, ty * ntx + tx, num_tiles)
     keys = (tile_id << RANK_BITS) | rank_ids[None, :]
     row_counts = jnp.sum(slot_live.astype(jnp.int32), axis=0)   # (G,)
@@ -164,12 +212,22 @@ def bin_gaussians_dense(
     tile_rows: int | None = None,
     means2d_cull: jnp.ndarray | None = None,
     r2_max: jnp.ndarray | None = None,
+    ext_x: jnp.ndarray | None = None,
+    ext_y: jnp.ndarray | None = None,
+    conics: jnp.ndarray | None = None,
+    tau: jnp.ndarray | None = None,
 ) -> DenseBinning:
     """Build the tile-major depth-sorted instance stream (dense layout).
 
     Args mirror ops/binning.bin_gaussians; `levels` is the static routing
     plan (see `default_levels`). Coverage is exact when the last level's
     rect spans the tile grid and no bucket overflows (probed).
+
+    Anisotropic tightening (both image-exact, see ops/projection.py):
+      * `ext_x`/`ext_y`: per-axis half extents replace the square `radii`
+        rect (elongated splats claim far fewer tiles)
+      * `conics` + `tau` (with `means2d_cull`): exact ellipse-box tile test
+        q_min(tile) <= tau replaces the isotropic circle bound `r2_max`
     """
     n = means2d.shape[0]
     assert n <= (1 << RANK_BITS), (
@@ -200,16 +258,28 @@ def bin_gaussians_dense(
     # column into one int32 matrix (floats bitcast) so the depth permutation
     # is ONE row gather — random-access ops cost per ROW on this hardware,
     # so five separate [perm] gathers would cost 5x this one
-    x0_o, y0_o, x1_o, y1_o = compute_tile_rects(means2d, radii, width,
-                                                height, tile_size)
+    if ext_x is not None and ext_y is not None:
+        from gaussianavatars_tpu.ops.binning import compute_tile_rects_ext
+        x0_o, y0_o, x1_o, y1_o = compute_tile_rects_ext(
+            means2d, ext_x, ext_y, radii, width, height, tile_size)
+    else:
+        x0_o, y0_o, x1_o, y1_o = compute_tile_rects(means2d, radii, width,
+                                                    height, tile_size)
     cols = [x0_o, y0_o, x1_o, y1_o, valid.astype(jnp.int32)]
-    with_cull = means2d_cull is not None and r2_max is not None
-    if with_cull:
-        bits = jax.lax.bitcast_convert_type
-        cols += [bits(means2d_cull[:, 0].astype(jnp.float32), jnp.int32),
-                 bits(means2d_cull[:, 1].astype(jnp.float32), jnp.int32),
-                 bits(r2_max.astype(jnp.float32), jnp.int32)]
-    packed_s = jnp.stack(cols, axis=1)[perm]        # (N, 5|8) one gather
+    ellipse = (means2d_cull is not None and conics is not None
+               and tau is not None)
+    with_cull = ellipse or (means2d_cull is not None and r2_max is not None)
+    bits = jax.lax.bitcast_convert_type
+    if ellipse:
+        cull_f = [means2d_cull[:, 0], means2d_cull[:, 1],
+                  conics[:, 0], conics[:, 1], conics[:, 2], tau]
+    elif with_cull:
+        cull_f = [means2d_cull[:, 0], means2d_cull[:, 1], r2_max]
+    else:
+        cull_f = []
+    cols += [bits(c.astype(jnp.float32), jnp.int32) for c in cull_f]
+    ncull = len(cull_f)
+    packed_s = jnp.stack(cols, axis=1)[perm]        # (N, 5+ncull) one gather
 
     x0, y0, x1, y1 = (packed_s[:, 0], packed_s[:, 1], packed_s[:, 2],
                       packed_s[:, 3])
@@ -220,12 +290,8 @@ def bin_gaussians_dense(
     rh = jnp.maximum(y1 - y0, 0)
     live = valid_s & (rw > 0) & (rh > 0)
 
-    if with_cull:
-        unbits = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
-        mx, my, r2 = (unbits(packed_s[:, 5]), unbits(packed_s[:, 6]),
-                      unbits(packed_s[:, 7]))
-    else:
-        mx = my = r2 = None
+    unbits = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+    cull_s = tuple(unbits(packed_s[:, 5 + i]) for i in range(ncull)) or None
 
     ranks = jnp.arange(n, dtype=jnp.int32)
 
@@ -275,26 +341,18 @@ def bin_gaussians_dense(
             lvl_live = (sel_keys >> RANK_BITS) == li
             g = bucket
         if bucket is None:
-            args = [sel, x0, y0, rw, rh, lvl_live]
-            args += [mx, my, r2] if r2 is not None else [None, None, None]
+            args = [sel, x0, y0, rw, rh, lvl_live, cull_s]
         else:
             # ONE row gather for all per-gaussian columns (random access
             # costs per row; seven separate [sel] gathers would cost 7x)
             cols = [x0, y0, rw, rh]
-            if r2 is not None:
-                bits = jax.lax.bitcast_convert_type
-                cols += [bits(mx, jnp.int32), bits(my, jnp.int32),
-                         bits(r2, jnp.int32)]
-            sub = jnp.stack(cols, axis=1)[sel]          # (bucket, 4|7)
+            if cull_s is not None:
+                cols += [bits(c, jnp.int32) for c in cull_s]
+            sub = jnp.stack(cols, axis=1)[sel]          # (bucket, 4+ncull)
+            lvl_cull = (tuple(unbits(sub[:, 4 + i]) for i in range(ncull))
+                        if cull_s is not None else None)
             args = [sel, sub[:, 0], sub[:, 1], sub[:, 2], sub[:, 3],
-                    lvl_live]
-            if r2 is not None:
-                unbits = lambda v: jax.lax.bitcast_convert_type(
-                    v, jnp.float32)
-                args += [unbits(sub[:, 4]), unbits(sub[:, 5]),
-                         unbits(sub[:, 6])]
-            else:
-                args += [None, None, None]
+                    lvl_live, lvl_cull]
         keys, row_counts = _level_keys(
             *args, rect_w, rect_h, num_tiles, ntx, nty, tile_size,
             tile_row_start,

@@ -46,6 +46,12 @@ class ProjectedGaussians(NamedTuple):
     valid: jnp.ndarray        # [N] bool visibility after culling
     r2_max: jnp.ndarray       # [N] max sq pixel distance at which alpha can
                               # still reach 1/255 (precise tile-cull bound)
+    ext_x: jnp.ndarray = None  # [N] tight per-axis half extent (pixels):
+    ext_y: jnp.ndarray = None  # min(radius, sqrt(tau*cov_xx)) — alpha >= 1/255
+                               # requires |dx| <= sqrt(tau*cov_xx) because
+                               # q >= dx^2/cov_xx for the conic quadratic
+    tau: jnp.ndarray = None    # [N] 2*ln(255*op): the q-threshold for
+                               # alpha >= 1/255 (exact ellipse tile cull)
 
 
 class CameraParams(NamedTuple):
@@ -276,6 +282,18 @@ def project_gaussians(
         jnp.sqrt(jnp.maximum(r2_max, 0.0)),
     ))
 
+    # Tight per-axis half extents for anisotropic tile rects: a pixel can
+    # contribute only when q = d^T conic d <= tau, and q >= dx^2 / cov_xx
+    # (the marginal bound of a PD quadratic), so |dx| <= sqrt(tau*cov_xx).
+    # Intersected with the reference square rect (radius_f) this is a pure
+    # tightening: no blended pixel is ever dropped, but elongated splats
+    # stop claiming the square of their MAJOR axis in the minor direction.
+    tau_pos = jnp.maximum(tau, 0.0)
+    ext_x = jnp.minimum(radius_f, jnp.ceil(
+        jnp.sqrt(tau_pos * jnp.maximum(c2xx, 0.0))))
+    ext_y = jnp.minimum(radius_f, jnp.ceil(
+        jnp.sqrt(tau_pos * jnp.maximum(c2yy, 0.0))))
+
     valid = in_front & det_ok
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
     # Fully off-screen gaussians are culled here; exact tile-rect emptiness
@@ -288,6 +306,8 @@ def project_gaussians(
     )
     valid = valid & on_screen & (radii > 0)
     radii = jnp.where(valid, radii, 0)
+    ext_x = jnp.where(valid, ext_x, 0.0)
+    ext_y = jnp.where(valid, ext_y, 0.0)
 
     if colors_precomp is not None:
         colors = colors_precomp
@@ -311,4 +331,7 @@ def project_gaussians(
         radii=radii,
         valid=valid,
         r2_max=r2_max,
+        ext_x=ext_x,
+        ext_y=ext_y,
+        tau=tau,
     )

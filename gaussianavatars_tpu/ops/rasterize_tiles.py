@@ -47,6 +47,43 @@ class RenderOutput(NamedTuple):
                                  # sort-expansion path
 
 
+def instance_demand(
+    means3d, scales, quats, opacities, shs, sh_degree, camera,
+    *, tile_size: int = 16, levels=None, active=None,
+):
+    """True instance demand (live stream length) for one view — capacity-free.
+
+    Runs projection + dense binning only; use it to pre-size the static
+    `capacity` bucket before compiling the full render/train step (e.g.
+    `ceil(total / granularity) * granularity`). Also returns the dense
+    rect-bucket overflow so callers can scale the level plan first.
+    """
+    proj = project_gaussians(
+        means3d, scales, quats, opacities, shs, sh_degree, camera)
+    if active is not None:
+        proj = proj._replace(
+            valid=proj.valid & active,
+            radii=jnp.where(active, proj.radii, 0),
+        )
+    from gaussianavatars_tpu.ops.binning_dense import bin_gaussians_dense
+
+    binning = bin_gaussians_dense(
+        jax.lax.stop_gradient(proj.means2d),
+        jax.lax.stop_gradient(proj.depths),
+        proj.radii, proj.valid, camera.width, camera.height, tile_size,
+        levels=levels,
+        means2d_cull=jax.lax.stop_gradient(proj.means2d),
+        r2_max=jax.lax.stop_gradient(proj.r2_max),
+        ext_x=jax.lax.stop_gradient(proj.ext_x),
+        ext_y=jax.lax.stop_gradient(proj.ext_y),
+        conics=jax.lax.stop_gradient(proj.conics),
+        tau=jax.lax.stop_gradient(proj.tau),
+    )
+    overflow = (jnp.max(binning.level_overflow)
+                if binning.level_overflow.shape[0] else jnp.int32(0))
+    return binning.total, overflow
+
+
 def rasterize(
     means3d: jnp.ndarray,
     scales: jnp.ndarray,
@@ -125,6 +162,10 @@ def rasterize(
             tile_rows=tile_rows,
             means2d_cull=jax.lax.stop_gradient(proj.means2d),
             r2_max=jax.lax.stop_gradient(proj.r2_max),
+            ext_x=jax.lax.stop_gradient(proj.ext_x),
+            ext_y=jax.lax.stop_gradient(proj.ext_y),
+            conics=jax.lax.stop_gradient(proj.conics),
+            tau=jax.lax.stop_gradient(proj.tau),
         )
         pack = pack_projected(
             proj.means2d, proj.conics, proj.colors, proj.opacities
