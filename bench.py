@@ -137,47 +137,58 @@ def bench_unbound():
     emit(f"fwd_bwd_ms_{WIDTH}x{HEIGHT}_100k", 1e3 / ips, "ms",
          10.0 / (1e3 / ips))
 
-    # tertiary: the FULL training step (render + reference loss stack
-    # incl. SSIM + backward + Adam) at the same config
-    from gaussianavatars_tpu.config import OptimizationConfig
-    from gaussianavatars_tpu.train import optim
-    from gaussianavatars_tpu.train.losses import compute_losses
+    # tertiary: the FULL training step at the same config, through the SAME
+    # machinery real training uses (train/loop.make_train_step: render +
+    # reference loss stack incl. SSIM + backward + Adam + means2d-offset
+    # densification gradient + densify-stat updates — reference
+    # train.py:124-210 pays all of these every iteration; an earlier
+    # version of this metric omitted the last two)
+    import time
 
+    from gaussianavatars_tpu.benchmark import scene_to_model
+    from gaussianavatars_tpu.config import OptimizationConfig, PipelineConfig
+    from gaussianavatars_tpu.train import optim
+    from gaussianavatars_tpu.train.loop import (
+        StepState, camera_arrays, lr_pytree, make_train_step,
+    )
+
+    model = scene_to_model(scene)
     opt_cfg = OptimizationConfig()
+    pipe = PipelineConfig(backend=backend, capacity=capacity,
+                          chunk=128 if backend == "pallas" else 16)
+    model.reset_stats()
+    mu, nu, count = optim.init({"gauss": model.params, "flame": {}})
+    state = StepState(
+        params=model.params, flame_tr={}, mu=mu, nu=nu, count=count,
+        max_radii2d=model.max_radii2d, grad_accum=model.xyz_gradient_accum,
+        denom=model.denom,
+    )
+    step = make_train_step(model, opt_cfg, pipe, WIDTH, HEIGHT, SH_DEGREE, 1)
     gt = jnp.asarray(
         np.random.default_rng(1).random((3, HEIGHT, WIDTH)).astype(np.float32))
-    mu, nu, count = optim.init(scene)
-    lrs = jax.tree.map(lambda _: 1e-3, scene)
+    lrs = lr_pytree(opt_cfg, 1e-3, {}, 1.0)
+    ca = camera_arrays(cam)
+    # per-call salted camera (tiny numpy leaf): the only reliable
+    # cache-buster for tunneled frontends (see bench_bound)
+    cams_salted = [
+        ca._replace(campos=np.asarray(ca.campos) + np.float32(1e-6 * (i + 1)))
+        for i in range(N_ITERS // 5 + 1)
+    ]
 
-    @jax.jit
-    def full_step(salt, scene, mu, nu, count):
-        # the per-call salt buffer is the only reliable cache-buster: an
-        # evolving Adam carry alone was still served from the dispatch
-        # cache on some runs (recycled buffer addresses), measured as
-        # fictitious ~0.1 ms steps
-        scene = dict(scene, means3d=scene["means3d"] + salt)
+    def one(state, i):
+        return step(state, {}, None, model.active_mask(), cams_salted[i],
+                    gt, bg, np.int32(0), lrs)
 
-        def loss(scene):
-            out = raster(scene)
-            total, _ = compute_losses(
-                out.image, gt, out.visibility, scene["means3d"],
-                jnp.log(scene["scales"]), None, opt_cfg, bound=False,
-            )
-            return total
-
-        grads = jax.grad(loss)(scene)
-        return optim.apply(scene, grads, mu, nu, count, lrs)
-
-    c = full_step(salts[0], scene, mu, nu, count)
-    jax.block_until_ready(c[0]["means3d"])
+    state, losses, probe = one(state, 0)
+    jax.block_until_ready(state.params.xyz)
+    assert 0 <= int(probe) <= capacity, int(probe)
 
     best_ips = 0.0
-    import time
     for _ in range(N_ROUNDS):
         t0 = time.perf_counter()
         for i in range(N_ITERS // 5):
-            c = full_step(salts[i + 1], *c)
-        jax.block_until_ready(c[0]["means3d"])
+            state, losses, probe = one(state, i + 1)
+        jax.block_until_ready(state.params.xyz)
         best_ips = max(best_ips,
                        (N_ITERS // 5) / (time.perf_counter() - t0))
     emit(f"train_step_ms_{WIDTH}x{HEIGHT}_100k", 1e3 / best_ips, "ms",
@@ -192,7 +203,8 @@ def bench_bound():
 
     from gaussianavatars_tpu.config import OptimizationConfig, PipelineConfig
     from gaussianavatars_tpu.train.loop import (
-        StepState, camera_arrays, lr_pytree, make_render_fn, make_train_step,
+        StepState, binding_arg, camera_arrays, lr_pytree, make_render_fn,
+        make_train_step,
     )
     from gaussianavatars_tpu.train import optim
 
@@ -234,7 +246,7 @@ def bench_bound():
     # ---- bound render fps ---------------------------------------------------
     render = make_render_fn(model, pipe, WIDTH, HEIGHT, SH_DEGREE)
     flame_param = dict(model.flame_param)
-    binding = model.binding_device()
+    binding = binding_arg(model)
     active = model.active_mask()
     ts = jnp.asarray(0, jnp.int32)
 
@@ -266,7 +278,7 @@ def bench_bound():
     gt = jnp.asarray(
         np.random.default_rng(2).random((3, HEIGHT, WIDTH)).astype(np.float32))
     lrs = lr_pytree(opt_cfg, 1e-3, flame_tr, model.spatial_lr_scale or 1.0)
-    bindd = model.binding_device()
+    bindd = binding_arg(model)
 
     # per-call salted camera (tiny numpy leaf): evolving Adam state alone
     # is not reliably cache-proof (see full_step note in bench_unbound)

@@ -120,7 +120,7 @@ def paint_gt_model(model, seed=0):
     op = np.full((n, 1), 1.7, np.float32)                # sigmoid ~ 0.85
     model.params = model.params._replace(
         xyz=pad(rng.normal(0, 0.25, (n, 3)).astype(np.float32)),
-        features_dc=pad(((dc - 0.5) / 0.28209479).astype(np.float32)[:, None]),
+        features_dc=pad(((dc - 0.5) / 0.28209479).astype(np.float32)),
         opacity=pad(op),
         scaling=pad(np.log(rng.uniform(0.7, 1.6, (n, 3)))
                     .astype(np.float32)),

@@ -71,8 +71,8 @@ def scene_to_model(scene, sh_degree=SH_DEGREE):
     model = GaussianModel(sh_degree)
     model.params = GaussianParams(
         xyz=scene["means3d"],
-        features_dc=jnp.asarray(shs[:, :1]),
-        features_rest=jnp.asarray(shs[:, 1:]),
+        features_dc=jnp.asarray(shs[:, 0]),
+        features_rest=jnp.asarray(shs[:, 1:].reshape(n, -1)),
         scaling=jnp.log(scene["scales"]),
         rotation=scene["quats"],
         opacity=jnp.log(
@@ -163,8 +163,8 @@ def make_bound_bench_model(sh_degree=SH_DEGREE, n_per_face=10, seed=0,
 
     model.params = GaussianParams(
         xyz=pad(local_xyz),
-        features_dc=pad(sh[:, :1]),
-        features_rest=pad(sh[:, 1:]),
+        features_dc=pad(sh[:, 0]),
+        features_rest=pad(sh[:, 1:].reshape(len(sh), -1)),
         scaling=pad(local_scaling),
         rotation=pad(quats),
         opacity=pad(np.log(opac / (1 - opac))[:, None].astype(np.float32)),

@@ -34,12 +34,50 @@ FINETUNE_KEYS = ("rotation", "neck_pose", "jaw_pose", "eyes_pose",
 
 def face_frames_from_verts(verts: jnp.ndarray, faces: jnp.ndarray) -> FaceFrames:
     """Per-triangle frames from posed vertices [V, 3]
-    (reference flame_gaussian_model.py:137-154)."""
-    orient, scale = compute_face_orientation(verts, faces)
-    center = compute_face_center(verts, faces)
-    quat = rotmat_to_quat(orient)
+    (reference flame_gaussian_model.py:137-154).
+
+    ONE triangle gather feeds orientation, scale, center AND quaternion
+    (the reference's separate center/orientation calls would each pay a
+    gather whose autodiff transpose is a [V, 3] scatter-add; fusing them
+    leaves a single scatter in the backward). The packed (F, 17) `table`
+    is built here from flat 2D pieces so the binding chain never touches a
+    [F, 3, 3] layout.
+    """
+    from gaussianavatars_tpu.ops.quaternion import rotmat_to_quat_components
+    from gaussianavatars_tpu.ops.transforms import _safe_normalize
+
+    tri = verts[faces]                       # (F, 3, 3): ONE gather
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+
+    # construction per reference utils/graphics_utils.py:116-135
+    e01 = v1 - v0
+    e02 = v2 - v0
+    a0 = _safe_normalize(e01)
+    a1 = _safe_normalize(jnp.cross(a0, e02))
+    a2 = -_safe_normalize(jnp.cross(a1, a0))
+
+    s0 = jnp.sqrt(jnp.maximum(
+        jnp.sum(e01 * e01, axis=-1, keepdims=True), 1e-20))
+    s1 = jnp.abs(jnp.sum(a2 * e02, axis=-1, keepdims=True))
+    scale = (s0 + s1) / 2.0
+    center = (v0 + v1 + v2) / 3.0
+
+    # orient matrix has COLUMNS (a0, a1, a2): row-major 9-vector rows are
+    # [a0x a1x a2x | a0y a1y a2y | a0z a1z a2z]
+    flat9 = jnp.stack(
+        [a0[:, 0], a1[:, 0], a2[:, 0],
+         a0[:, 1], a1[:, 1], a2[:, 1],
+         a0[:, 2], a1[:, 2], a2[:, 2]], axis=1,
+    )
+    quat = rotmat_to_quat_components(
+        a0[:, 0], a1[:, 0], a2[:, 0],
+        a0[:, 1], a1[:, 1], a2[:, 1],
+        a0[:, 2], a1[:, 2], a2[:, 2],
+    )
+    table = jnp.concatenate([flat9, scale, center, quat], axis=1)  # (F, 17)
     return FaceFrames(
-        center=center, orient_mat=orient, orient_quat=quat, scaling=scale
+        center=center, orient_mat=flat9.reshape(-1, 3, 3),
+        orient_quat=quat, scaling=scale, table=table,
     )
 
 

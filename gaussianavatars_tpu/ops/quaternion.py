@@ -77,9 +77,16 @@ def rotmat_to_quat(m: jnp.ndarray) -> jnp.ndarray:
     numerically stable for all rotations and maps cleanly onto the VPU
     (no data-dependent control flow).
     """
-    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
-    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
-    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    return rotmat_to_quat_components(
+        m[..., 0, 0], m[..., 0, 1], m[..., 0, 2],
+        m[..., 1, 0], m[..., 1, 1], m[..., 1, 2],
+        m[..., 2, 0], m[..., 2, 1], m[..., 2, 2],
+    )
+
+
+def rotmat_to_quat_components(m00, m01, m02, m10, m11, m12, m20, m21, m22):
+    """`rotmat_to_quat` on scalar matrix-entry arrays (componentized hot
+    path: callers with flat per-column data skip the [..., 3, 3] packing)."""
 
     # Four squared magnitudes (up to scale 4): w, x, y, z dominant.
     qw2 = 1.0 + m00 + m11 + m22

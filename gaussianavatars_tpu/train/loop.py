@@ -86,6 +86,24 @@ def camera_arrays(params: CameraParams) -> CameraArrays:
     )
 
 
+def binding_arg(model):
+    """Binding argument for jitted step/render fns: (binding, ends) when the
+    sorted-binding cumsum-transpose gather is eligible, else the plain
+    binding array (or None unbound). Both are valid pytree args; the jit
+    traces per structure."""
+    b = model.binding_device()
+    if b is None:
+        return None
+    ends = model.binding_ends_device()
+    return (b, ends) if ends is not None else b
+
+
+def _split_binding(binding):
+    if isinstance(binding, (tuple, list)):
+        return binding[0], binding[1]
+    return binding, None
+
+
 class StepState(NamedTuple):
     """Device-side training state threaded through the jitted step."""
 
@@ -110,6 +128,7 @@ def make_train_step(model, opt_cfg: OptimizationConfig,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: StepState, flame_fixed: dict, binding, active,
              cam: CameraArrays, gt_image, bg, timestep, lrs):
+        binding, binding_ends = _split_binding(binding)
         camera = CameraParams(
             viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
             campos=cam.campos, tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
@@ -130,16 +149,16 @@ def make_train_step(model, opt_cfg: OptimizationConfig,
                 frames = face_frames_from_verts(
                     verts[0], flame_model.j_faces
                 )
-                face_scaling_pg = frames.scaling[binding]
             else:
                 frames = None
                 verts_cano = None
                 flame_full = None
-                face_scaling_pg = None
 
-            means3d, scales, quats, opac, shs = world_space_gaussians(
-                params, binding if bound else None, frames
-            )
+            means3d, scales, quats, opac, shs, face_scaling_pg = (
+                world_space_gaussians(
+                    params, binding if bound else None, frames,
+                    binding_ends=binding_ends, return_face_scale=True,
+                ))
             out = rasterize(
                 means3d, scales, quats, opac, shs, sh_degree, camera, bg,
                 capacity=pipe_cfg.capacity,
@@ -250,6 +269,10 @@ def make_parallel_train_step(mesh, model, opt_cfg: OptimizationConfig,
     def step(state: StepState, flame_fixed: dict, binding, active,
              cam_batch: CameraArrays, gt_batch, bg_batch, timestep_batch,
              lrs):
+        # the sharded step shards the gaussian axis; the cumsum-transpose
+        # gather is shard-incoherent there, so drop any (binding, ends)
+        # tuple down to the plain binding array
+        binding, _ = _split_binding(binding)
         out = raw(
             state.params, state.flame_tr, flame_fixed, binding, active,
             cam_batch, gt_batch, bg_batch, timestep_batch, lrs,
@@ -279,6 +302,7 @@ def make_render_fn(model, pipe_cfg: PipelineConfig, width: int, height: int,
     @jax.jit
     def render(params, flame_param: dict, binding, active,
                cam: CameraArrays, bg, timestep):
+        binding, binding_ends = _split_binding(binding)
         camera = CameraParams(
             viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
             campos=cam.campos, tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
@@ -289,7 +313,8 @@ def make_render_fn(model, pipe_cfg: PipelineConfig, width: int, height: int,
         else:
             frames = None
         means3d, scales, quats, opac, shs = world_space_gaussians(
-            params, binding if bound else None, frames
+            params, binding if bound else None, frames,
+            binding_ends=binding_ends,
         )
         # debug pipeline flags (reference gaussian_renderer/__init__.py:63-81):
         # precompute covariance / SH colors outside the rasterizer core
@@ -410,7 +435,7 @@ def gui_poll(gui, model, state: StepState, flame_fixed, pipe_cfg,
                 if msg.get("show_splatting", True):
                     net_image = render_fns[key](
                         state.params, flame_full,
-                        model.binding_device() if bound else None,
+                        binding_arg(model) if bound else None,
                         model.active_mask(), camera_arrays(p),
                         jnp.ones(3, jnp.float32),
                         jnp.asarray(cam.timestep, jnp.int32),
@@ -538,7 +563,9 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     # end-of-run observability: growth/rejit/surgery event counts land in
     # run_summary.json next to cfg_args (warnings alone scroll away)
     events = {"capacity_growth": 0, "level_bucket_growth": 0,
-              "densify": 0, "opacity_reset": 0, "unresolved_overflow": 0}
+              "densify": 0, "opacity_reset": 0, "unresolved_overflow": 0,
+              "step_compiles": 0}
+    last_probe = 0  # most recent drained instance-demand probe
     # 2-deep probe/loss read pipeline: by the time an entry is read, its
     # async D2H copy has fully landed, so the read never pays the tunnel
     # round trip (reading 1 step late still stalls ~1 RTT after the step)
@@ -600,6 +627,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     params_cam.height, model.active_sh_degree,
                     model.num_timesteps,
                 )
+            events["step_compiles"] += 1
         lrs = lr_pytree(opt_cfg, xyz_lr, state.flame_tr, model.spatial_lr_scale)
 
         if parallel:
@@ -614,7 +642,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 [c.timestep or 0 for c, _ in views], np.int32)
             state, losses, instance_total = step_fns[key](
                 state, flame_fixed,
-                model.binding_device() if bound else None,
+                binding_arg(model) if bound else None,
                 model.active_mask(), cam_batch, gt_batch, bg_batch,
                 ts_batch, lrs,
             )
@@ -623,7 +651,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             cam_bg = np.asarray(cam.bg, np.float32)
 
             state, losses, instance_total = step_fns[key](
-                state, flame_fixed, model.binding_device() if bound else None,
+                state, flame_fixed, binding_arg(model) if bound else None,
                 model.active_mask(),
                 camera_arrays(params_cam), np.asarray(gt, np.float32), cam_bg,
                 timestep, lrs,
@@ -642,6 +670,8 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         if len(pending) > 2 or iteration == opt_cfg.iterations:
             pv = int(pending.popleft()[0])
         if pv is not None:
+            if pv >= 0:
+                last_probe = max(last_probe, pv)
             if pv < 0:
                 print(f"[warn] dense level-bucket shortfall {-pv}; "
                       f"growing level_scale")
@@ -710,6 +740,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     mu=state.mu["gauss"], nu=state.nu["gauss"],
                     count=state.count,
                 )
+                n_before = max(model.n_alive, 1)
                 adam_g = model.densify_and_prune(
                     adam_g, opt_cfg.densify_grad_threshold, 0.005,
                     scene.cameras_extent, size_threshold,
@@ -718,6 +749,15 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     screen_size_prune=opt_cfg.screen_size_prune,
                 )
                 events["densify"] += 1
+                # probe-based instance-capacity PRE-sizing: scale the last
+                # demand probe by the gaussian growth ratio and grow the
+                # bucket BEFORE compiling the new step, instead of paying
+                # an overflow step + a second recompile after it
+                if last_probe:
+                    est = int(last_probe * (model.n_alive / n_before) * 1.15)
+                    if est > pipe_cfg.capacity:
+                        pipe_cfg.capacity = -(-est // 65536) * 65536
+                        events["capacity_growth"] += 1
                 state = StepState(
                     params=model.params, flame_tr=state.flame_tr,
                     mu={"gauss": adam_g.mu, "flame": state.mu["flame"]},
@@ -727,7 +767,10 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     grad_accum=model.xyz_gradient_accum,
                     denom=model.denom,
                 )
-                step_fns.clear()
+                # NO step_fns.clear(): the step key carries model.capacity,
+                # so surgery that stays inside the bucket reuses the
+                # compiled step; only pipe_cfg changes (instance capacity /
+                # level growth) invalidate entries wholesale
 
             if iteration % opt_cfg.opacity_reset_interval == 0 or (
                 model_cfg.white_background
@@ -867,7 +910,7 @@ def evaluate_splits(model, scene, model_cfg, pipe_cfg, state: StepState,
                 )
             img = render_fns[key](
                 state.params, flame_full,
-                model.binding_device() if bound else None,
+                binding_arg(model) if bound else None,
                 model.active_mask(), camera_arrays(p),
                 jnp.asarray(cam.bg, jnp.float32),
                 jnp.asarray(cam.timestep or 0, jnp.int32),

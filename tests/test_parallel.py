@@ -25,8 +25,8 @@ def to_gauss_params(scene, n):
     shs = np.asarray(scene["shs"])
     return GaussianParams(
         xyz=scene["means3d"],
-        features_dc=jnp.asarray(shs[:, :1]),
-        features_rest=jnp.asarray(shs[:, 1:]),
+        features_dc=jnp.asarray(shs[:, 0]),
+        features_rest=jnp.asarray(shs[:, 1:].reshape(shs.shape[0], -1)),
         scaling=jnp.log(scene["scales"]),
         rotation=scene["quats"],
         opacity=jnp.log(scene["opacities"] / (1 - scene["opacities"]))[:, None],

@@ -172,7 +172,9 @@ def dump(model, out_dir, timestep=0):
         d_opacity=np.asarray(g.opacity)[:n],
         d_scaling=np.asarray(g.scaling)[:n],
         d_rotation=np.asarray(g.rotation)[:n],
-        d_f_dc=np.asarray(g.features_dc)[:n],
+        # reference dumps _features_dc.grad as [N, 1, 3]; our device layout
+        # is flat [N, 3] (models/gaussians.GaussianParams)
+        d_f_dc=np.asarray(g.features_dc)[:n].reshape(n, 1, 3),
     )
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump({
