@@ -165,6 +165,10 @@ def main():
     ap.add_argument("--width", type=int, default=296)
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--out", type=str, default="/tmp/bound_recovery")
+    ap.add_argument("--test_every", type=int, default=0,
+                    help="also run the val/test eval sweep every N "
+                         "iterations (PSNR/SSIM trajectory; 0 = final only)")
+    ap.add_argument("--densify_every", type=int, default=300)
     args = ap.parse_args()
 
     from gaussianavatars_tpu.config import (
@@ -197,15 +201,19 @@ def main():
     it = args.iterations
     opt_cfg = OptimizationConfig(
         iterations=it, densify_from_iter=400,
-        densify_until_iter=int(0.7 * it), densification_interval=300,
+        densify_until_iter=int(0.7 * it),
+        densification_interval=args.densify_every,
         opacity_reset_interval=10 * it, position_lr_max_steps=it,
     )
+    tests = {it}
+    if args.test_every:
+        tests |= set(range(args.test_every, it + 1, args.test_every))
     print(f"[demo] training {it} iterations (bound, FLAME finetuning on) "
           f"on {jax.devices()[0]} ...", flush=True)
     t0 = time.time()
     model, state, info = training(
         model_cfg, opt_cfg, pipe_cfg,
-        testing_iterations={it}, saving_iterations={it},
+        testing_iterations=tests, saving_iterations={it},
     )
     dt = time.time() - t0
 

@@ -89,10 +89,15 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+_SCAN_IMPL = "mxu-sum"  # "mxu": triangular-matmul scans (MXU passes hide under
+                    # the kernels' VPU-bound elementwise work; log-space for
+                    # the transmittance product) | "roll": log-shift scans
+                    # (the r2/r3 formulation; kept for A/B)
+
+
 def _cumsum_sublanes(x, chunk):
     """Inclusive cumsum along the sublane (instance) axis: Hillis-Steele
-    log-shift scan. Mosaic has no cumsum primitive; log2(CH) masked rolls
-    beat the CH-MAC triangular matmul at CH=128 on the MXU's f32 rate."""
+    log-shift scan (log2(CH) masked rolls)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     shift = 1
     while shift < chunk:
@@ -112,6 +117,47 @@ def _cumprod_sublanes(x, chunk):
         x = x * jnp.where(rows >= shift, rolled, 1.0)
         shift *= 2
     return x
+
+
+def _tri_ones(chunk):
+    """Lower-triangular (incl. diagonal) ones (CH, CH): cumsum operator."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (r >= c).astype(jnp.float32)
+
+
+def _cumsum_mxu(x, tri):
+    """Inclusive sublane cumsum as tri @ x in TWO DEFAULT MXU passes.
+
+    tri's entries are 0/1 (bf16-exact), so a hi/lo split of x reaches
+    f32-grade accuracy (see the precision playbook in docs/performance.md).
+    The r2 note "rolls beat the CH-MAC triangular matmul on the MXU's f32
+    rate" predates the split trick: HIGHEST needs ~6 passes, the split
+    needs 2, and both hide under the surrounding VPU-bound elementwise
+    work — what the roll scan cannot do (it IS VPU work).
+    """
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_lo = x - x_hi
+    dot = lambda a: jax.lax.dot_general(
+        tri, a, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dot(x_hi) + dot(x_lo)
+
+
+def _cumprod_alpha(alpha, tri, chunk):
+    """Inclusive sublane cumprod of (1 - alpha).
+
+    MXU form runs in log space: cumsum(log1p(-alpha)) then exp — two
+    transcendentals per element replace the log2(CH)-step roll scan's VPU
+    work, and the matmul passes overlap it. alpha = 0 lanes contribute
+    log1p(0) = 0 (exact multiplicative identity); alpha <= 0.99 keeps
+    log1p well-conditioned, and a saturated chunk underflows exp to an
+    exact 0 (the early-out region).
+    """
+    if _SCAN_IMPL == "mxu":
+        return jnp.exp(_cumsum_mxu(jnp.log1p(-alpha), tri))
+    return _cumprod_sublanes(1.0 - alpha, chunk)  # "roll" and "mxu-sum"
 
 
 def _shift_down_one(x, fill):
@@ -268,7 +314,7 @@ def _row_mask(offset, start, end, chunk):
 # ----------------------------------------------------------------------------
 
 def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
-                t_all, t_app, color_acc, basis_scr, *,
+                t_all, t_app, color_acc, basis_scr, tri_scr, *,
                 tile_size, chunk, tpb):
     p = tile_size * tile_size
     # tile_size <= 32: center-shifted basis entries are bf16-exact, which
@@ -281,8 +327,10 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
     @pl.when(pl.program_id(0) == 0)
     def _():
         basis_scr[...] = _pix_basis(tile_size, p, center_shift=exact)
+        tri_scr[...] = _tri_ones(chunk)
 
     basis = basis_scr[...]
+    tri = tri_scr[...]
 
     def one_tile(lt):
         """Blend tile pl.program_id(0)*tpb + lt into out_ref[lt]."""
@@ -330,9 +378,7 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
             alpha, _, _, _ = _chunk_geometry(
                 data, basis, tx, ty, row_ok, exact
             )
-            # direct product-space transmittance (the reference CUDA's own
-            # f32 recurrence): no log1p/exp transcendentals per chunk
-            cp = _cumprod_sublanes(1.0 - alpha, chunk)      # (CH, P)
+            cp = _cumprod_alpha(alpha, tri, chunk)          # (CH, P)
             mask = (t_all[...] * cp) >= T_EPS
             cp_excl = _shift_down_one(cp, 1.0)
             weight = jnp.where(mask, alpha * cp_excl, 0.0) * t_app[...]
@@ -402,6 +448,7 @@ def blend_image_fwd_pallas(
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((3, p), jnp.float32),
                 pltpu.VMEM((p, 8), jnp.float32),
+                pltpu.VMEM((chunk, chunk), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
@@ -426,7 +473,7 @@ def blend_image_fwd_pallas(
 
 def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
                 scratch, gscratch, accscratch, sems, gsem, wsems,
-                t_all, t_app, s_prefix, basis_scr, *,
+                t_all, t_app, s_prefix, basis_scr, tri_scr, *,
                 tile_size, chunk, tpb):
     p = tile_size * tile_size
     exact = tile_size <= 32 and _EXACT_SPLIT
@@ -440,19 +487,21 @@ def _bwd_kernel(ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         # passes. The moment algebra is form-invariant under the shift
         # (dx = (mx-c) - (px-c)).
         basis_scr[...] = _pix_basis(tile_size, p, center_shift=exact)
+        tri_scr[...] = _tri_ones(chunk)
 
     basis = basis_scr[...]
+    tri = tri_scr[...]
 
     for lt in range(tpb):
         _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref,
                   grad_hbm, scratch, gscratch, accscratch, sems, gsem,
-                  wsems, t_all, t_app, s_prefix, basis,
+                  wsems, t_all, t_app, s_prefix, basis, tri,
                   tile_size=tile_size, chunk=chunk, tpb=tpb)
 
 
 def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
               scratch, gscratch, accscratch, sems, gsem, wsems,
-              t_all, t_app, s_prefix, basis, *,
+              t_all, t_app, s_prefix, basis, tri, *,
               tile_size, chunk, tpb):
     p = tile_size * tile_size
     exact = tile_size <= 32 and _EXACT_SPLIT
@@ -558,7 +607,7 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         alpha, _, unclamped, (mx, my, cxx, cxy, cyy) = _chunk_geometry(
             data, basis, tx, ty, row_ok, exact
         )
-        cp = _cumprod_sublanes(1.0 - alpha, chunk)           # (CH, P)
+        cp = _cumprod_alpha(alpha, tri, chunk)               # (CH, P)
         mask = (t_all[...] * cp) >= T_EPS
         t_before = t_app[...] * _shift_down_one(cp, 1.0)     # (CH, P)
         weight = jnp.where(mask, alpha * t_before, 0.0)
@@ -568,6 +617,8 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         dw = cg * weight
         if "scan2" in _ABLATE:
             s_incl = s_prefix[...] + dw
+        elif _SCAN_IMPL in ("mxu", "mxu-sum"):
+            s_incl = s_prefix[...] + _cumsum_mxu(dw, tri)
         else:
             s_incl = s_prefix[...] + _cumsum_sublanes(dw, chunk)
 
@@ -743,6 +794,7 @@ def blend_image_bwd_pallas(
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((1, p), jnp.float32),
                 pltpu.VMEM((p, 8), jnp.float32),
+                pltpu.VMEM((chunk, chunk), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
