@@ -76,8 +76,11 @@ def autosize_capacity(total: int, granularity: int = 65536) -> int:
 def bench_unbound():
     from gaussianavatars_tpu.ops.rasterize_tiles import instance_demand, rasterize
 
+    from gaussianavatars_tpu.benchmark import scene_flat_sh
+
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    scene = make_bench_scene()
+    # production SH layout (flat channel-major), as the train loop feeds it
+    scene = scene_flat_sh(make_bench_scene())
     cam = bench_camera()
     bg = jnp.ones(3)
 

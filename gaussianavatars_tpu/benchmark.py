@@ -58,6 +58,17 @@ def make_bench_scene(n=N_GAUSSIANS, seed=0):
     )
 
 
+def scene_flat_sh(scene):
+    """Production-layout scene variant: `shs` flat [N, 3*K] channel-major
+    (what training feeds the rasterizer; the 3D [N, K, 3] form is the
+    reference-API compat path and costs interleaved-slice relayouts)."""
+    import jax.numpy as jnp
+
+    from gaussianavatars_tpu.ops.sh import flat_cmajor_from_kc
+
+    return dict(scene, shs=jnp.asarray(flat_cmajor_from_kc(scene["shs"])))
+
+
 def scene_to_model(scene, sh_degree=SH_DEGREE):
     """Wrap a raw scene dict into an (unbound) GaussianModel."""
     import jax.numpy as jnp
@@ -68,11 +79,19 @@ def scene_to_model(scene, sh_degree=SH_DEGREE):
 
     n = scene["means3d"].shape[0]
     shs = np.asarray(scene["shs"])
+    if shs.ndim == 2:               # flat channel-major (scene_flat_sh)
+        k = shs.shape[1] // 3
+        dc = np.stack([shs[:, 0], shs[:, k], shs[:, 2 * k]], axis=1)
+        rest = np.concatenate(
+            [shs[:, 1:k], shs[:, k + 1:2 * k], shs[:, 2 * k + 1:]], axis=1)
+    else:                           # [N, K, 3] coefficient-major
+        dc = shs[:, 0]
+        rest = shs[:, 1:].transpose(0, 2, 1).reshape(n, -1)
     model = GaussianModel(sh_degree)
     model.params = GaussianParams(
         xyz=scene["means3d"],
-        features_dc=jnp.asarray(shs[:, 0]),
-        features_rest=jnp.asarray(shs[:, 1:].reshape(n, -1)),
+        features_dc=jnp.asarray(dc),
+        features_rest=jnp.asarray(rest),
         scaling=jnp.log(scene["scales"]),
         rotation=scene["quats"],
         opacity=jnp.log(
@@ -164,7 +183,7 @@ def make_bound_bench_model(sh_degree=SH_DEGREE, n_per_face=10, seed=0,
     model.params = GaussianParams(
         xyz=pad(local_xyz),
         features_dc=pad(sh[:, 0]),
-        features_rest=pad(sh[:, 1:].reshape(len(sh), -1)),
+        features_rest=pad(sh[:, 1:].transpose(0, 2, 1).reshape(len(sh), -1)),
         scaling=pad(local_scaling),
         rotation=pad(quats),
         opacity=pad(np.log(opac / (1 - opac))[:, None].astype(np.float32)),

@@ -42,7 +42,9 @@ class GaussianParams(NamedTuple):
 
     Layout mirrors reference scene/gaussian_model.py:50-55, except SH
     features are stored FLAT 2D on device: `features_dc` [C, 3] and
-    `features_rest` [C, (K-1)*3] (coeff-major, channel-last — the
+    `features_rest` [C, 3*(K-1)] (CHANNEL-major: all K-1 red coeffs, then
+    green, then blue — the reference PLY f_rest_* bit order and the
+    contiguous-block layout ops/sh.eval_sh_flat_cmajor consumes — the
     row-major flattening of the reference's [N, K, 3]). 3D feature
     arrays earn exotic XLA layouts whose reshape/transpose copies cost
     multiple ms per step at 100k gaussians; the [N, K, 3] view exists
@@ -51,7 +53,7 @@ class GaussianParams(NamedTuple):
 
     xyz: jnp.ndarray            # [C, 3] local (bound) or world (unbound)
     features_dc: jnp.ndarray    # [C, 3]
-    features_rest: jnp.ndarray  # [C, (K-1)*3] flat [K-1, 3] rows
+    features_rest: jnp.ndarray  # [C, 3*(K-1)] flat channel-major blocks
     scaling: jnp.ndarray        # [C, 3] log-scale
     rotation: jnp.ndarray       # [C, 4] wxyz (unnormalized)
     opacity: jnp.ndarray        # [C, 1] logit
@@ -145,13 +147,17 @@ def world_space_gaussians(
     """
     scales = jnp.exp(params.scaling)
     opacities = jax.nn.sigmoid(params.opacity[:, 0])
-    # FLAT [C, K*3] SH concat: the (C, 1|15, 3) -> flat reshapes are free
-    # row-major bitcasts, while a 3D concat invites XLA into permuted
-    # [C, K, 3] layouts whose staging copies cost milliseconds at 100k
-    # gaussians (projection consumes the flat view anyway; see
-    # ops/sh.eval_sh_flat)
+    # FLAT [C, 3*K] CHANNEL-major SH concat ([R: dc,rest | G | B]): 2D
+    # shapes keep XLA out of permuted [C, K, 3] layouts, and the
+    # channel-major block order makes the SH eval + its VJP pure
+    # contiguous-block math (ops/sh.eval_sh_flat_cmajor; the k-major flat
+    # form still paid ~1.8 ms of interleaved-slice relayouts at 100k)
+    km = params.features_rest.shape[1] // 3
+    dc, rest = params.features_dc, params.features_rest
     shs = jnp.concatenate(
-        [params.features_dc, params.features_rest], axis=1
+        [dc[:, 0:1], rest[:, :km],
+         dc[:, 1:2], rest[:, km:2 * km],
+         dc[:, 2:3], rest[:, 2 * km:]], axis=1,
     )
 
     if binding is None:
@@ -646,13 +652,12 @@ class GaussianModel:
             cols.append((name, xyz[:, i].astype(np.float32)))
         for name in ("nx", "ny", "nz"):
             cols.append((name, np.zeros(n, np.float32)))
-        # channel-major flatten: flat [N, (K-1)*3] -> [N, K-1, 3] ->
-        # transpose -> [N, 3*(K-1)] (bit-compatible reference PLY order)
         f_dc = p["features_dc"]
         for i in range(f_dc.shape[1]):
             cols.append((f"f_dc_{i}", f_dc[:, i].astype(np.float32)))
-        f_rest = (p["features_rest"].reshape(n, -1, 3)
-                  .transpose(0, 2, 1).reshape(n, -1))
+        # device layout IS the reference PLY f_rest bit order
+        # (channel-major blocks) — no transpose
+        f_rest = p["features_rest"]
         for i in range(f_rest.shape[1]):
             cols.append((f"f_rest_{i}", f_rest[:, i].astype(np.float32)))
         cols.append(("opacity", p["opacity"][:, 0].astype(np.float32)))
@@ -683,13 +688,9 @@ class GaussianModel:
             f"PLY has {len(rest_names)} f_rest coeffs, expected "
             f"{3 * (self.n_sh_coeffs - 1)} for sh_degree {self.max_sh_degree}"
         )
-        f_rest = np.stack([d[k] for k in rest_names], 1)
-        f_rest = (
-            f_rest.reshape(n, 3, self.n_sh_coeffs - 1)
-            .transpose(0, 2, 1)                   # [N, K-1, 3] channel-last
-            .reshape(n, -1)                       # flat device layout
-            .astype(np.float32)
-        )
+        # PLY f_rest_* column order is channel-major — exactly the flat
+        # device layout; one stack, no transpose
+        f_rest = np.stack([d[k] for k in rest_names], 1).astype(np.float32)
 
         scale_names = sorted(
             (k for k in d if k.startswith("scale_")),

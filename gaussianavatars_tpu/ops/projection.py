@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussianavatars_tpu.ops.covariance import build_covariance_3d
-from gaussianavatars_tpu.ops.sh import eval_sh_flat
+from gaussianavatars_tpu.ops.sh import eval_sh_flat, eval_sh_flat_cmajor
 
 
 class ProjectedGaussians(NamedTuple):
@@ -199,7 +199,9 @@ def project_gaussians(
       scales: [N, 3] linear (already exp-activated) scales.
       quats: [N, 4] wxyz rotations (normalized internally).
       opacities: [N] in (0,1) (already sigmoid-activated).
-      shs: [N, K, 3] SH coefficients (K >= (sh_degree+1)^2).
+      shs: SH coefficients — flat [N, 3*K] CHANNEL-major (production
+        layout, see ops/sh.eval_sh_flat_cmajor) or [N, K, 3]
+        coefficient-major (reference-API compat); K >= (sh_degree+1)^2.
       sh_degree: active SH degree (static).
       camera: CameraParams.
       scaling_modifier: global scale multiplier (viewer control).
@@ -316,10 +318,15 @@ def project_gaussians(
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
         )
-        # evaluate over the FLAT [N, K*3] view: 2D in/out/cotangent shapes
-        # keep XLA from assigning [N, K, C] permuted layouts (the reshape is
-        # a free bitcast when shs arrives row-major)
-        colors = eval_sh_flat(sh_degree, shs.reshape(n, -1), dirs) + 0.5
+        # 2D in/out/cotangent shapes keep XLA from assigning [N, K, C]
+        # permuted layouts. A 2D `shs` is the production CHANNEL-major flat
+        # layout (contiguous K-wide blocks, no interleaved slices); 3D
+        # [N, K, 3] is the reference-API compat path (reshape is a free
+        # bitcast when it arrives row-major).
+        if shs.ndim == 2:
+            colors = eval_sh_flat_cmajor(sh_degree, shs, dirs) + 0.5
+        else:
+            colors = eval_sh_flat(sh_degree, shs.reshape(n, -1), dirs) + 0.5
         colors = jnp.maximum(colors, 0.0)
 
     return ProjectedGaussians(

@@ -326,10 +326,11 @@ def make_render_fn(model, pipe_cfg: PipelineConfig, width: int, height: int,
             dirs = means3d - camera.campos
             dirs = dirs / jnp.maximum(
                 jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
-            shs3 = shs.reshape(shs.shape[0], -1, 3)  # flat -> [C, K, 3]
+            # flat channel-major [C, 3*K] -> [C, 3, K] (eval_sh wants the
+            # channel axis at -2, which IS the c-major block axis)
+            shs3 = shs.reshape(shs.shape[0], 3, -1)
             colors_precomp = jnp.maximum(
-                eval_sh(sh_degree, jnp.swapaxes(shs3, -1, -2), dirs) + 0.5,
-                0.0)
+                eval_sh(sh_degree, shs3, dirs) + 0.5, 0.0)
         if pipe_cfg.compute_cov3D_python:
             from gaussianavatars_tpu.ops.covariance import build_covariance_3d
 

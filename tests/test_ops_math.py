@@ -121,6 +121,45 @@ class TestSH:
         for a, b in zip(g_new, g_ref):
             np.testing.assert_allclose(a, b, atol=2e-5)
 
+    @pytest.mark.parametrize("deg,k", [(0, 1), (2, 16), (3, 16), (4, 25)])
+    def test_eval_sh_flat_cmajor_matches_autodiff(self, deg, k):
+        """The channel-major flat variant (the production layout,
+        ops/sh.py eval_sh_flat_cmajor) == autodiff of eval_sh for value,
+        coefficient grads, and direction grads."""
+        from gaussianavatars_tpu.ops.sh import eval_sh_flat_cmajor
+
+        sh2c = rand(30, 40, 3 * k)
+        dirs = quat_like_dirs(31, 40)
+        g = rand(32, 40, 3)
+
+        # c-major flat [N, 3K] -> [N, 3, K]: channel axis at -2 = eval_sh's
+        as_ck = lambda s: s.reshape(40, 3, k)
+        np.testing.assert_allclose(
+            eval_sh_flat_cmajor(deg, sh2c, dirs),
+            eval_sh(deg, as_ck(sh2c), dirs), atol=1e-6)
+        g_ref = jax.grad(
+            lambda s, d: jnp.sum(eval_sh(deg, as_ck(s), d) * g),
+            argnums=(0, 1))(sh2c, dirs)
+        g_new = jax.grad(
+            lambda s, d: jnp.sum(eval_sh_flat_cmajor(deg, s, d) * g),
+            argnums=(0, 1))(sh2c, dirs)
+        for a, b in zip(g_new, g_ref):
+            np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_flat_cmajor_roundtrip(self):
+        from gaussianavatars_tpu.ops.sh import (
+            flat_cmajor_from_kc, kc_from_flat_cmajor,
+        )
+
+        sh3 = rand(33, 12, 16, 3)
+        flat = flat_cmajor_from_kc(sh3)
+        assert flat.shape == (12, 48)
+        # block c holds channel c's coefficients in k order
+        np.testing.assert_array_equal(np.asarray(flat[:, 16:32]),
+                                      np.asarray(sh3[:, :, 1]))
+        np.testing.assert_array_equal(np.asarray(kc_from_flat_cmajor(flat)),
+                                      np.asarray(sh3))
+
     def test_rgb_sh_roundtrip(self):
         rgb = jnp.asarray(
             np.random.default_rng(0).random((10, 3)).astype(np.float32))

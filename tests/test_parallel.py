@@ -26,7 +26,8 @@ def to_gauss_params(scene, n):
     return GaussianParams(
         xyz=scene["means3d"],
         features_dc=jnp.asarray(shs[:, 0]),
-        features_rest=jnp.asarray(shs[:, 1:].reshape(shs.shape[0], -1)),
+        features_rest=jnp.asarray(
+            shs[:, 1:].transpose(0, 2, 1).reshape(shs.shape[0], -1)),
         scaling=jnp.log(scene["scales"]),
         rotation=scene["quats"],
         opacity=jnp.log(scene["opacities"] / (1 - scene["opacities"]))[:, None],

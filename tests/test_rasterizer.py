@@ -79,6 +79,30 @@ class TestForwardParity:
         np.testing.assert_allclose(np.asarray(out.image), 1.0, atol=1e-6)
 
 
+class TestFlatShParity:
+    def test_flat_cmajor_shs_match_3d(self):
+        """rasterize() with the production flat channel-major SH layout
+        == the [N, K, 3] reference-API path, for image and grads."""
+        from gaussianavatars_tpu.ops.sh import flat_cmajor_from_kc
+
+        scene = make_scene(seed=3, n=80)
+        cam = make_camera(width=64, height=48)
+        flat = dict(scene, shs=flat_cmajor_from_kc(scene["shs"]))
+
+        img3 = tile_render(scene, cam).image
+        img2 = tile_render(flat, cam).image
+        np.testing.assert_allclose(np.asarray(img2), np.asarray(img3),
+                                   atol=1e-6)
+
+        def loss(shs, scene):
+            return jnp.sum(tile_render(dict(scene, shs=shs), cam).image ** 2)
+
+        g3 = jax.grad(loss)(scene["shs"], scene)
+        g2 = jax.grad(loss)(flat["shs"], flat)
+        np.testing.assert_allclose(
+            np.asarray(flat_cmajor_from_kc(g3)), np.asarray(g2), atol=2e-5)
+
+
 class TestBackwardParity:
     def _loss_fns(self, cam, sh_degree=2):
         key = jax.random.PRNGKey(0)

@@ -36,7 +36,8 @@ def test_4k_render_tile_row_sharded(width, height):
     params = GaussianParams(
         xyz=scene["means3d"],
         features_dc=scene["shs"][:, 0],
-        features_rest=scene["shs"][:, 1:].reshape(scene["shs"].shape[0], -1),
+        features_rest=jnp.swapaxes(scene["shs"][:, 1:], -1, -2)
+        .reshape(scene["shs"].shape[0], -1),
         scaling=jnp.log(scene["scales"]),
         rotation=scene["quats"],
         opacity=jnp.log(scene["opacities"] / (1 - scene["opacities"]))[:, None],
@@ -239,7 +240,8 @@ def test_single_chip_slab_render_matches_full_frame(tmp_path):
     model = GaussianModel(1)
     model.params = GaussianParams(
         xyz=scene["means3d"], features_dc=scene["shs"][:, 0],
-        features_rest=scene["shs"][:, 1:].reshape(scene["shs"].shape[0], -1),
+        features_rest=jnp.swapaxes(scene["shs"][:, 1:], -1, -2)
+        .reshape(scene["shs"].shape[0], -1),
         scaling=jnp.log(scene["scales"]), rotation=scene["quats"],
         opacity=jnp.log(scene["opacities"] / (1 - scene["opacities"]))[:, None],
     )
@@ -276,7 +278,8 @@ def test_python_debug_paths_match_default_render(tmp_path):
     model = GaussianModel(2)
     model.params = GaussianParams(
         xyz=scene["means3d"], features_dc=scene["shs"][:, 0],
-        features_rest=scene["shs"][:, 1:].reshape(scene["shs"].shape[0], -1),
+        features_rest=jnp.swapaxes(scene["shs"][:, 1:], -1, -2)
+        .reshape(scene["shs"].shape[0], -1),
         scaling=jnp.log(scene["scales"]), rotation=scene["quats"],
         opacity=jnp.log(scene["opacities"] / (1 - scene["opacities"]))[:, None],
     )
