@@ -156,13 +156,25 @@ def make_bound_bench_model(sh_degree=SH_DEGREE, n_per_face=10, seed=0,
     # scene's world-space statistics through the face frames
     f = head.faces.shape[0]
     n = f * n_per_face
-    binding = np.tile(np.arange(f, dtype=np.int32), n_per_face)
+    # SORTED binding (all of face 0's gaussians, then face 1's, ...):
+    # real bound models keep this invariant (densify surgery re-sorts), and
+    # it enables the segment-bounded shift-add frame-gather transpose
+    binding = np.repeat(np.arange(f, dtype=np.int32), n_per_face)
     frames = model.face_frames_at(model.flame_param, 0)
     face_scaling = np.asarray(frames.scaling)[binding]   # [n, 1]
 
     k = (sh_degree + 1) ** 2
     local_xyz = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
-    world_scales = np.exp(rng.normal(-5.2, 0.4, (n, 3))).astype(np.float32)
+    # 0.925: calibrated so the PROJECTED INSTANCE DEMAND at the bench
+    # camera matches the unbound protocol scene (580,987 vs 585,511 at
+    # r4 culling — same capacity bucket). Every pipeline cost scales with
+    # instance count, so matching it is what makes
+    # bound_step - train_step measure the BINDING CHAIN (LBS + frames +
+    # gather + world transform and their VJPs), not a heavier render:
+    # the head-surface layout otherwise projects ~9% more tile coverage
+    # than the unbound cloud at identical world-scale statistics.
+    world_scales = (0.925 * np.exp(
+        rng.normal(-5.2, 0.4, (n, 3)))).astype(np.float32)
     local_scaling = np.log(
         np.maximum(world_scales / np.maximum(face_scaling, 1e-12), 1e-12)
     ).astype(np.float32)

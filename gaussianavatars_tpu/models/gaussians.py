@@ -21,6 +21,7 @@ PLY interchange is bit-compatible with the reference (including the
 
 from __future__ import annotations
 
+import functools
 import itertools
 import math
 from typing import NamedTuple, Optional
@@ -97,33 +98,53 @@ def _gather_frames(table, binding):
     return table[binding]
 
 
-@jax.custom_vjp
-def _gather_frames_sorted(table, binding, ends):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_frames_sorted(table, binding, ends, max_seg=None):
     """`_gather_frames` for SORTED binding (non-decreasing, every face
     populated — the never-empty-a-face invariant): the cotangent becomes a
-    cumsum + segment-boundary diff instead of a random scatter-add.
+    segmented reduction instead of a random scatter-add.
 
     `ends` is [F] int32: the LAST slot index of each face's contiguous run
-    (cumsum(binding_counter) - 1). Measured on v5e at the bound-bench shape
-    (114688 x 17): 0.86 ms vs the packed scatter's 1.44 ms — unlike the
-    sort-grouped reduction noted in `_gather_frames` (which must scan
-    log2(C) shift steps), the cumsum needs no per-segment bookkeeping.
-    Bonus: grads in dead capacity-padding slots (past the last `ends`) are
-    structurally ignored rather than relying on upstream zeroing.
+    (cumsum(binding_counter) - 1). `max_seg` (STATIC) is an upper bound on
+    any face's gaussian count: when given, the transpose runs
+    log2(max_seg) masked shift-adds (each segment's total lands on its
+    FIRST row; ONE [F]-row gather at the segment starts picks it up) —
+    measured 0.28 ms at the bound-bench shape (114688 x 17, max_seg 16)
+    vs 0.86 ms for the full-length cumsum + ends-diff (log2(C) = 17
+    internal passes) and 1.44 ms for the packed scatter. Callers encode
+    max_seg in a static arg shape so densify growth retraces
+    (train/loop.binding_arg). With max_seg None the cumsum form runs.
+    Grads in dead capacity-padding slots are structurally ignored: the
+    dead tail's binding (0) never equals the last face's id, and starts
+    only index live runs.
     """
     return table[binding]
 
 
-def _gather_frames_sorted_fwd(table, binding, ends):
-    return table[binding], ends
+def _gather_frames_sorted_fwd(table, binding, ends, max_seg):
+    return table[binding], (binding, ends)
 
 
-def _gather_frames_sorted_bwd(ends, g):
-    cs = jnp.cumsum(g, axis=0)                 # (C, 17)
-    tot = cs[ends]                             # (F, 17)
-    d_table = tot - jnp.concatenate(
-        [jnp.zeros_like(tot[:1]), tot[:-1]], axis=0)
-    return (d_table, None, None)
+def _gather_frames_sorted_bwd(max_seg, residuals, g):
+    binding, ends = residuals
+    if max_seg is None:
+        cs = jnp.cumsum(g, axis=0)             # (C, 17)
+        tot = cs[ends]                         # (F, 17)
+        d_table = tot - jnp.concatenate(
+            [jnp.zeros_like(tot[:1]), tot[:-1]], axis=0)
+        return (d_table, None, None)
+    # segmented suffix shift-add (see instance_pack._gather_perm_bwd):
+    # an equal binding at distance s implies the whole gap is one segment
+    x = g
+    shift = 1
+    while shift < max(2, max_seg):
+        same = jnp.pad(binding[shift:] == binding[:-shift], (0, shift))
+        x = x + jnp.where(same[:, None],
+                          jnp.pad(x[shift:], ((0, shift), (0, 0))), 0.0)
+        shift *= 2
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), ends[:-1] + 1])
+    return (x[starts], None, None)
 
 
 _gather_frames_sorted.defvjp(_gather_frames_sorted_fwd,
@@ -136,6 +157,7 @@ def world_space_gaussians(
     frames: Optional[FaceFrames],
     binding_ends: Optional[jnp.ndarray] = None,
     return_face_scale: bool = False,
+    binding_max_seg: Optional[int] = None,
 ):
     """Activate raw params and (when bound) carry them into world space.
 
@@ -179,7 +201,8 @@ def world_space_gaussians(
              frames.orient_quat], axis=1,
         )
     if binding_ends is not None:
-        rows = _gather_frames_sorted(table, binding, binding_ends)  # (C, 17)
+        rows = _gather_frames_sorted(
+            table, binding, binding_ends, binding_max_seg)       # (C, 17)
     else:
         rows = _gather_frames(table, binding)           # (C, 17)
     face_scale = rows[:, 9:10]

@@ -87,21 +87,36 @@ def camera_arrays(params: CameraParams) -> CameraArrays:
 
 
 def binding_arg(model):
-    """Binding argument for jitted step/render fns: (binding, ends) when the
-    sorted-binding cumsum-transpose gather is eligible, else the plain
-    binding array (or None unbound). Both are valid pytree args; the jit
-    traces per structure."""
+    """Binding argument for jitted step/render fns: (binding, ends,
+    seg_bound) when the sorted-binding segmented-transpose gather is
+    eligible, else the plain binding array (or None unbound). All are
+    valid pytree args; the jit traces per structure.
+
+    `seg_bound` is a dummy array whose SHAPE encodes the max
+    gaussians-per-face bound (pow2-rounded): jit keys on shapes, so when
+    densification grows a face past the bound the step retraces with a
+    wider shift-add — no stale-static hazard.
+    """
     b = model.binding_device()
     if b is None:
         return None
     ends = model.binding_ends_device()
-    return (b, ends) if ends is not None else b
+    if ends is None:
+        return b
+    max_seg = int(np.max(model.binding_counter)) if (
+        getattr(model, "binding_counter", None) is not None) else 0
+    if max_seg <= 0:
+        return (b, ends)
+    p2 = 1 << max(0, (max_seg - 1)).bit_length()
+    return (b, ends, np.zeros((p2,), np.int8))
 
 
 def _split_binding(binding):
     if isinstance(binding, (tuple, list)):
-        return binding[0], binding[1]
-    return binding, None
+        if len(binding) >= 3 and binding[2] is not None:
+            return binding[0], binding[1], binding[2].shape[0]
+        return binding[0], binding[1], None
+    return binding, None, None
 
 
 class StepState(NamedTuple):
@@ -128,7 +143,7 @@ def make_train_step(model, opt_cfg: OptimizationConfig,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: StepState, flame_fixed: dict, binding, active,
              cam: CameraArrays, gt_image, bg, timestep, lrs):
-        binding, binding_ends = _split_binding(binding)
+        binding, binding_ends, binding_max_seg = _split_binding(binding)
         camera = CameraParams(
             viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
             campos=cam.campos, tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
@@ -158,6 +173,7 @@ def make_train_step(model, opt_cfg: OptimizationConfig,
                 world_space_gaussians(
                     params, binding if bound else None, frames,
                     binding_ends=binding_ends, return_face_scale=True,
+                    binding_max_seg=binding_max_seg,
                 ))
             out = rasterize(
                 means3d, scales, quats, opac, shs, sh_degree, camera, bg,
@@ -272,7 +288,7 @@ def make_parallel_train_step(mesh, model, opt_cfg: OptimizationConfig,
         # the sharded step shards the gaussian axis; the cumsum-transpose
         # gather is shard-incoherent there, so drop any (binding, ends)
         # tuple down to the plain binding array
-        binding, _ = _split_binding(binding)
+        binding, _, _ = _split_binding(binding)
         out = raw(
             state.params, state.flame_tr, flame_fixed, binding, active,
             cam_batch, gt_batch, bg_batch, timestep_batch, lrs,
@@ -302,7 +318,7 @@ def make_render_fn(model, pipe_cfg: PipelineConfig, width: int, height: int,
     @jax.jit
     def render(params, flame_param: dict, binding, active,
                cam: CameraArrays, bg, timestep):
-        binding, binding_ends = _split_binding(binding)
+        binding, binding_ends, binding_max_seg = _split_binding(binding)
         camera = CameraParams(
             viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
             campos=cam.campos, tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
@@ -314,7 +330,7 @@ def make_render_fn(model, pipe_cfg: PipelineConfig, width: int, height: int,
             frames = None
         means3d, scales, quats, opac, shs = world_space_gaussians(
             params, binding if bound else None, frames,
-            binding_ends=binding_ends,
+            binding_ends=binding_ends, binding_max_seg=binding_max_seg,
         )
         # debug pipeline flags (reference gaussian_renderer/__init__.py:63-81):
         # precompute covariance / SH colors outside the rasterizer core

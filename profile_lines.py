@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
-"""Op-level xplane trace of the BOUND full train step vs the unbound one.
+"""Per-trace-line busy/gap analysis of the full train step (dev tool).
 
-The bound step adds the per-frame FLAME drive (LBS -> face frames ->
-binding chain -> world-space gaussians) and its VJP on top of the shared
-render/loss/Adam machinery; this tool isolates where that overhead lands
-so the staging work (VERDICT r3 item 3) is measured, not guessed.
+Sums event time per xplane line (TensorCore vs DMA queues) and reports the
+main compute line's busy fraction over the traced span — the direct answer
+to "do the async copies stall the core or overlap it?".
+Usage: profile_lines.py [--unbound]
 """
 import collections
 import glob
@@ -20,41 +20,48 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gaussianavatars_tpu.benchmark import (
-    HEIGHT, SH_DEGREE, WIDTH, bench_camera, make_bound_bench_model,
-)
-from bench import autosize_capacity
 
-
-def summarize(trace_dir, label, iters):
+def analyze(trace_dir, iters):
     files = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
-    if not files:
-        print(f"[{label}] no xplane file found")
-        return
     data = jax.profiler.ProfileData.from_file(files[0])
-    ops = collections.Counter()
-    sync = collections.Counter()
     for plane in data.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name:
             continue
+        print(f"== plane: {plane.name}")
         for line in plane.lines:
-            for ev in line.events:
-                name = ev.name
-                if name.isdigit():
-                    continue
-                ops[name] += ev.duration_ns
-                if line.name == "XLA Ops":
-                    sync[name] += ev.duration_ns
-    print(f"==== {label} ({iters} iters; per-iter ms) ====", flush=True)
-    for name, ns in ops.most_common(64):
-        print(f"  {ns/1e6/iters:9.3f} ms  {name[:140]}")
-    print(f"==== {label}: SYNC line only (stall-inclusive) ====", flush=True)
-    for name, ns in sync.most_common(48):
-        print(f"  {ns/1e6/iters:9.3f} ms  {name[:140]}")
+            evs = [(ev.start_ns, ev.duration_ns, ev.name)
+                   for ev in line.events if not ev.name.isdigit()]
+            if not evs:
+                continue
+            evs.sort()
+            total = sum(d for _, d, _ in evs)
+            span = evs[-1][0] + evs[-1][1] - evs[0][0]
+            # merged busy time (events may nest/overlap within a line)
+            busy = 0
+            cur_s, cur_e = evs[0][0], evs[0][0]
+            for s, d, _ in evs:
+                if s > cur_e:
+                    busy += cur_e - cur_s
+                    cur_s = s
+                cur_e = max(cur_e, s + d)
+            busy += cur_e - cur_s
+            print(f"  line {line.name!r:30s} events={len(evs):6d} "
+                  f"sum={total/1e6/iters:8.3f} ms  busy={busy/1e6/iters:8.3f}"
+                  f" ms  span={span/1e6/iters:8.3f} ms")
 
 
 def main():
+    import functools
+    from profile_bound import __file__ as _  # noqa: F401  (same repo)
+
+    # reuse profile_bound's setup by exec-ing its main with tracing replaced
+    # is messy; instead duplicate the minimal step setup here
+    from gaussianavatars_tpu.benchmark import (
+        HEIGHT, SH_DEGREE, WIDTH, bench_camera, make_bench_scene,
+        make_bound_bench_model, scene_to_model,
+    )
+    from bench import autosize_capacity
     from gaussianavatars_tpu.config import OptimizationConfig, PipelineConfig
     from gaussianavatars_tpu.models.flame_gaussians import (
         face_frames_from_verts,
@@ -69,9 +76,6 @@ def main():
     unbound = "--unbound" in sys.argv
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if unbound:
-        from gaussianavatars_tpu.benchmark import (
-            make_bench_scene, scene_to_model,
-        )
         model = scene_to_model(make_bench_scene())
         model.reset_stats()
     else:
@@ -131,16 +135,14 @@ def main():
 
     state, losses, probe = one(state, 0)
     jax.block_until_ready(state.params.xyz)
-    print(f"capacity={pipe.capacity} probe={int(probe)}", flush=True)
 
-    d = tempfile.mkdtemp(prefix="trace_bound_")
+    d = tempfile.mkdtemp(prefix="trace_lines_")
     try:
         with jax.profiler.trace(d):
             for i in range(iters):
                 state, losses, probe = one(state, i + 1)
             jax.block_until_ready(state.params.xyz)
-        summarize(d, "unbound full step" if unbound else "bound full step",
-                  iters)
+        analyze(d, iters)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -222,6 +222,53 @@ def test_packed_binding_chain_matches_unpacked():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_sorted_frame_gather_transposes_agree():
+    """All three frame-gather cotangent paths produce the same d_table:
+    random scatter (_gather_frames), full-length cumsum (max_seg=None),
+    and the segment-bounded shift-add (static max_seg). Dead
+    capacity-padding cotangents are structurally ignored by the sorted
+    paths."""
+    from gaussianavatars_tpu.models.gaussians import (
+        _gather_frames, _gather_frames_sorted,
+    )
+
+    rng = np.random.default_rng(11)
+    f, cap = 37, 256
+    counts = rng.integers(1, 12, f)            # max_seg bound 16
+    binding_live = np.repeat(np.arange(f, dtype=np.int32), counts)
+    n = len(binding_live)
+    binding = np.zeros(cap, np.int32)
+    binding[:n] = binding_live
+    ends = np.cumsum(counts, dtype=np.int64) - 1
+    table = jnp.asarray(rng.normal(size=(f, 17)).astype(np.float32))
+    g_live = rng.normal(size=(cap, 17)).astype(np.float32)
+    g_live[n:] = 0.0
+    bindd = jnp.asarray(binding)
+    endsd = jnp.asarray(ends, jnp.int32)
+
+    def grad_of(fn):
+        return jax.grad(
+            lambda t: jnp.sum(fn(t) * jnp.asarray(g_live)))(table)
+
+    d_scatter = grad_of(lambda t: _gather_frames(t, bindd))
+    d_cumsum = grad_of(
+        lambda t: _gather_frames_sorted(t, bindd, endsd, None))
+    d_shift = grad_of(
+        lambda t: _gather_frames_sorted(t, bindd, endsd, 16))
+    np.testing.assert_allclose(d_cumsum, d_scatter, atol=1e-5)
+    np.testing.assert_allclose(d_shift, d_scatter, atol=1e-5)
+
+    # garbage cotangents in the dead tail do not leak into any face for
+    # the sorted paths (the scatter path would add them to face 0 — the
+    # pipeline's active mask guarantees zeros there instead)
+    g_dirty = g_live.copy()
+    g_dirty[n:] = rng.normal(size=(cap - n, 17))
+    d_dirty = jax.grad(
+        lambda t: jnp.sum(_gather_frames_sorted(t, bindd, endsd, 16)
+                          * jnp.asarray(g_dirty)))(table)
+    np.testing.assert_allclose(d_dirty, d_scatter, atol=1e-5)
+
+
 def test_cache_token_is_unique_across_lifetimes():
     """Eval render-fn caches key on cache_token, not id(): id() values
     recycle after GC, which could resurrect a stale capacity closure."""
