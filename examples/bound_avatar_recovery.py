@@ -39,7 +39,8 @@ import jax.numpy as jnp
 
 T_STEPS = 8
 N_CAMS = 8          # last camera of each timestep is held out
-DIST = 1.6
+DIST = 0.55         # camera depth: the ~0.2-diameter fixture head fills
+                    # ~70% of the frame at FOVX 0.5 (protocol framing)
 FOVX = 0.5
 
 

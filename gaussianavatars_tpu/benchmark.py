@@ -165,15 +165,16 @@ def make_bound_bench_model(sh_degree=SH_DEGREE, n_per_face=10, seed=0,
 
     k = (sh_degree + 1) ** 2
     local_xyz = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
-    # 0.925: calibrated so the PROJECTED INSTANCE DEMAND at the bench
-    # camera matches the unbound protocol scene (580,987 vs 585,511 at
-    # r4 culling — same capacity bucket). Every pipeline cost scales with
-    # instance count, so matching it is what makes
-    # bound_step - train_step measure the BINDING CHAIN (LBS + frames +
-    # gather + world transform and their VJPs), not a heavier render:
-    # the head-surface layout otherwise projects ~9% more tile coverage
-    # than the unbound cloud at identical world-scale statistics.
-    world_scales = (0.925 * np.exp(
+    # 0.814: calibrated so the PROJECTED INSTANCE DEMAND at the bench
+    # camera matches the unbound protocol scene (582,545 vs 585,511 at
+    # r4 culling on the local-triangle fixture head — same capacity
+    # bucket). Every pipeline cost scales with instance count, so
+    # matching it is what makes bound_step - train_step measure the
+    # BINDING CHAIN (LBS + frames + gather + world transform and their
+    # VJPs), not a different render workload: the head-shell layout
+    # otherwise projects ~16% more tile coverage than the unbound cloud
+    # at identical world-scale statistics.
+    world_scales = (0.814 * np.exp(
         rng.normal(-5.2, 0.4, (n, 3)))).astype(np.float32)
     local_scaling = np.log(
         np.maximum(world_scales / np.maximum(face_scaling, 1e-12), 1e-12)

@@ -168,9 +168,16 @@ def _shift_down_one(x, fill):
 
 _MM_PRECISION = jax.lax.Precision.HIGHEST  # see profile_blend A/B
 
-_ABLATE = frozenset()  # dev-only cost attribution: {'scan2', 'moments',
-                       # 'dalpha'} disable backward pieces at TRACE time
-                       # (results become wrong; timing-only)
+import os as _os
+
+_ABLATE = frozenset(
+    filter(None, _os.environ.get("GA_BLEND_ABLATE", "").split(","))
+)                      # dev-only cost attribution: {'scan2', 'moments',
+                       # 'dalpha', 'cutoff'} disable kernel pieces at TRACE
+                       # time (results become wrong; timing-only).
+                       # 'cutoff' drops the per-pixel T<eps termination
+                       # emulation (mask/t_app/ap ops) to price the CUDA
+                       # done-flag semantics vs a pure-math blend
 
 _EXACT_SPLIT = True  # dev A/B: False falls back to the HIGHEST power
                      # matmul + unshifted basis (pre-split behavior)
@@ -379,19 +386,25 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
                 data, basis, tx, ty, row_ok, exact
             )
             cp = _cumprod_alpha(alpha, tri, chunk)          # (CH, P)
-            mask = (t_all[...] * cp) >= T_EPS
             cp_excl = _shift_down_one(cp, 1.0)
-            weight = jnp.where(mask, alpha * cp_excl, 0.0) * t_app[...]
+            if "cutoff" in _ABLATE:     # timing-only: pure-math blend
+                weight = alpha * cp_excl * t_all[...]
+            else:
+                mask = (t_all[...] * cp) >= T_EPS
+                weight = (jnp.where(mask, alpha * cp_excl, 0.0)
+                          * t_app[...])
 
             colors_r = data[ROW_R:ROW_B + 1, :]             # (3, CH)
             contrib = _split_dot(colors_r, weight, (((1,), (0,))))
             color_acc[...] += contrib
             t_all[...] *= cp[chunk - 1:chunk, :]
-            # applied product = cp at the last masked row = min over masked
-            # rows (cp is nonincreasing and mask is monotone within a
-            # chunk); 1 when no row passed (fill 2.0 > any cp)
-            ap = jnp.min(jnp.where(mask, cp, 2.0), axis=0, keepdims=True)
-            t_app[...] *= jnp.where(ap <= 1.0, ap, 1.0)
+            if "cutoff" not in _ABLATE:
+                # applied product = cp at the last masked row = min over
+                # masked rows (cp is nonincreasing and mask is monotone
+                # within a chunk); 1 when no row passed (fill 2.0 > any cp)
+                ap = jnp.min(jnp.where(mask, cp, 2.0), axis=0,
+                             keepdims=True)
+                t_app[...] *= jnp.where(ap <= 1.0, ap, 1.0)
             return offset + chunk
 
         final = jax.lax.while_loop(cond, body, astart)
@@ -405,7 +418,8 @@ def _fwd_kernel(ranges_ref, inst_hbm, out_ref, scratch, sems,
                 chunk_dma(c, (c // chunk) % NSLOTS).wait()
 
         out_ref[lt, 0:3, :] = color_acc[...]
-        out_ref[lt, 3:4, :] = t_app[...]
+        out_ref[lt, 3:4, :] = (t_all[...] if "cutoff" in _ABLATE
+                               else t_app[...])
 
     for lt in range(tpb):
         one_tile(lt)
@@ -608,9 +622,14 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
             data, basis, tx, ty, row_ok, exact
         )
         cp = _cumprod_alpha(alpha, tri, chunk)               # (CH, P)
-        mask = (t_all[...] * cp) >= T_EPS
-        t_before = t_app[...] * _shift_down_one(cp, 1.0)     # (CH, P)
-        weight = jnp.where(mask, alpha * t_before, 0.0)
+        if "cutoff" in _ABLATE:         # timing-only: pure-math blend
+            t_before = t_all[...] * _shift_down_one(cp, 1.0)
+            weight = alpha * t_before
+            mask = row_ok                # (CH, 1) — broadcast-cheap stand-in
+        else:
+            mask = (t_all[...] * cp) >= T_EPS
+            t_before = t_app[...] * _shift_down_one(cp, 1.0)  # (CH, P)
+            weight = jnp.where(mask, alpha * t_before, 0.0)
 
         colors_r = data[ROW_R:ROW_B + 1, :]                  # (3, CH)
         cg = _split_dot(colors_r, g_color, (((0,), (0,))))    # (CH, P)
@@ -691,8 +710,9 @@ def _bwd_tile(lt, ranges_ref, inst_hbm, outpack_ref, gpack_ref, grad_hbm,
         write_grads(offset, offset < start)
 
         t_all[...] *= cp[chunk - 1:chunk, :]
-        ap = jnp.min(jnp.where(mask, cp, 2.0), axis=0, keepdims=True)
-        t_app[...] *= jnp.where(ap <= 1.0, ap, 1.0)
+        if "cutoff" not in _ABLATE:
+            ap = jnp.min(jnp.where(mask, cp, 2.0), axis=0, keepdims=True)
+            t_app[...] *= jnp.where(ap <= 1.0, ap, 1.0)
         s_prefix[...] = s_incl[chunk - 1:chunk, :]
         return offset + chunk
 

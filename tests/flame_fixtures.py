@@ -21,16 +21,33 @@ def make_flame_assets(dirpath, seed=0, v=V, f=F):
     rng = np.random.default_rng(seed)
     os.makedirs(dirpath, exist_ok=True)
 
-    v_template = rng.normal(0, 0.1, (v, 3)).astype(np.float64)
-    faces = rng.integers(0, v, (f, 3))
-    # ensure non-degenerate triples
-    bad = (faces[:, 0] == faces[:, 1]) | (faces[:, 1] == faces[:, 2]) | (
-        faces[:, 0] == faces[:, 2]
-    )
-    faces[bad] = np.stack(
-        [np.arange(bad.sum()) % v, (np.arange(bad.sum()) + 1) % v,
-         (np.arange(bad.sum()) + 2) % v], axis=1
-    )
+    # Head-like surface with LOCAL triangles: vertices along a spiral on a
+    # ~0.1-radius sphere, faces connecting spiral neighbors across turns
+    # (grid triangulation). This matters: a real FLAME mesh has ~3-8 mm
+    # triangles, and the standard bound init (local scale 1 x face scale)
+    # inherits that unit — random all-to-all connectivity gave ~0.24-unit
+    # "triangles" whose init splats covered the whole frame and blew the
+    # binning's full-grid level on any realistic protocol.
+    w = 62                      # spiral windings; ~81 points per turn
+    t = (np.arange(v) + 0.5) / v
+    z = 1.0 - 2.0 * t
+    r_xy = np.sqrt(np.maximum(1.0 - z * z, 1e-6))
+    phi = 2.0 * np.pi * w * t
+    sphere = np.stack(
+        [r_xy * np.cos(phi), r_xy * np.sin(phi), z], axis=1)
+    v_template = (0.1 * sphere + rng.normal(0, 0.002, (v, 3))
+                  ).astype(np.float64)
+    k = v // w                  # index stride of one spiral turn
+    i = np.arange(v - k - 1)
+    grid = np.concatenate([
+        np.stack([i, i + 1, i + k], axis=1),
+        np.stack([i + 1, i + k + 1, i + k], axis=1),
+    ])
+    extra = f - len(grid)
+    assert extra >= 0
+    j = np.arange(extra)
+    faces = np.concatenate(
+        [grid, np.stack([j, j + 2, j + k + 1], axis=1)])[:f]
 
     # FLAME chain: root(global) -> neck -> jaw, eyes under neck
     kintree = np.zeros((2, J), np.int64)
@@ -42,8 +59,11 @@ def make_flame_assets(dirpath, seed=0, v=V, f=F):
 
     model = dict(
         v_template=v_template,
-        shapedirs=rng.normal(0, 0.01, (v, 3, SHAPE_DIMS)),
-        posedirs=rng.normal(0, 0.001, (v, 3, (J - 1) * 9)),
+        # blendshape magnitudes scaled to the local triangle size (~6e-3):
+        # per-vertex iid displacements larger than an edge would mangle
+        # the surface (real FLAME bases are spatially smooth instead)
+        shapedirs=rng.normal(0, 5e-4, (v, 3, SHAPE_DIMS)),
+        posedirs=rng.normal(0, 5e-5, (v, 3, (J - 1) * 9)),
         J_regressor=np.abs(rng.normal(0, 1, (J, v))) / v,
         kintree_table=kintree,
         weights=weights,
