@@ -38,7 +38,17 @@ import jax
 import jax.numpy as jnp
 
 T_STEPS = 8
-N_CAMS = 8          # last camera of each timestep is held out
+N_CAMS = 16         # NeRSemble-like rig width. The MIDDLE camera of each
+                    # timestep is held out: the eval view must INTERPOLATE
+                    # the training arc (an end-of-arc holdout makes val an
+                    # extrapolation task where sparse-view floaters
+                    # dominate the score instead of avatar quality).
+                    # 15 train cams + the yaw trajectory below are ALSO
+                    # what constrains view-dependent SH: with ~9 static
+                    # directions a deg-2 splat (9 coeffs) can interpolate
+                    # the training cameras exactly, and val collapses as
+                    # SH degrees unlock (measured 25.9 -> 15.7 dB).
+HOLD_OUT = N_CAMS // 2
 DIST = 0.55         # camera depth: the ~0.2-diameter fixture head fills
                     # ~70% of the frame at FOVX 0.5 (protocol framing)
 FOVX = 0.5
@@ -66,7 +76,11 @@ def write_dataset(data_dir, asset_dir, width, height, seed=0):
             os.path.join(data_dir, "flame_param", f"{t:05d}.npz"),
             shape=shape,
             expr=(base_e * math.cos(ph) + dir_e * math.sin(ph))[None],
-            rotation=np.float32([[0.05 * math.sin(ph), 0, 0]]),
+            # head yaw sweep across timesteps: varies each gaussian's view
+            # direction set like real captured data (heads turn), which
+            # regularizes SH along with the camera arc
+            rotation=np.float32([[0.05 * math.sin(ph),
+                                  0.35 * math.sin(ph + 0.7), 0]]),
             neck_pose=np.zeros((1, 3), np.float32),
             jaw_pose=np.float32([[0.08 + 0.05 * math.sin(ph), 0, 0]]),
             eyes_pose=np.zeros((1, 6), np.float32),
@@ -82,7 +96,7 @@ def write_dataset(data_dir, asset_dir, width, height, seed=0):
         np.zeros((height, width, 3), np.uint8))
     for t in range(T_STEPS):
         for c in range(N_CAMS):
-            if c < N_CAMS - 1:
+            if c != HOLD_OUT:
                 split = "train"
             else:
                 split = "val" if t % 2 == 0 else "test"

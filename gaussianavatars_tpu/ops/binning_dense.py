@@ -250,50 +250,42 @@ def bin_gaussians_dense(
 
     # ---- depth order over gaussians (invalid sort to the end) --------------
     depth_key = jnp.where(valid, depths, jnp.inf).astype(jnp.float32)
-    _, perm = jax.lax.sort(
-        (depth_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
-    )
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, perm = jax.lax.sort((depth_key, iota), num_keys=1)
+    _, inv_perm = jax.lax.sort((perm, iota), num_keys=1)
 
-    # rects are elementwise in the ORIGINAL order; pack every per-gaussian
-    # column into one int32 matrix (floats bitcast) so the depth permutation
-    # is ONE row gather — random-access ops cost per ROW on this hardware,
-    # so five separate [perm] gathers would cost 5x this one
+    # Everything below runs in the ORIGINAL gaussian order: the slot keys
+    # only need the depth RANK in their low bits, and inv_perm IS the rank
+    # of each original id — so the rects/cull columns fuse straight out of
+    # the projection with no packed-column stack, no [perm] row gather and
+    # no bitcast glue (the r3 rank-ordered build paid ~0.5 ms of exactly
+    # that at 100k gaussians).
     if ext_x is not None and ext_y is not None:
         from gaussianavatars_tpu.ops.binning import compute_tile_rects_ext
-        x0_o, y0_o, x1_o, y1_o = compute_tile_rects_ext(
+        x0, y0, x1, y1 = compute_tile_rects_ext(
             means2d, ext_x, ext_y, radii, width, height, tile_size)
     else:
-        x0_o, y0_o, x1_o, y1_o = compute_tile_rects(means2d, radii, width,
-                                                    height, tile_size)
-    cols = [x0_o, y0_o, x1_o, y1_o, valid.astype(jnp.int32)]
+        x0, y0, x1, y1 = compute_tile_rects(means2d, radii, width,
+                                            height, tile_size)
     ellipse = (means2d_cull is not None and conics is not None
                and tau is not None)
     with_cull = ellipse or (means2d_cull is not None and r2_max is not None)
-    bits = jax.lax.bitcast_convert_type
     if ellipse:
-        cull_f = [means2d_cull[:, 0], means2d_cull[:, 1],
-                  conics[:, 0], conics[:, 1], conics[:, 2], tau]
+        cull_o = (means2d_cull[:, 0], means2d_cull[:, 1],
+                  conics[:, 0], conics[:, 1], conics[:, 2], tau)
     elif with_cull:
-        cull_f = [means2d_cull[:, 0], means2d_cull[:, 1], r2_max]
+        cull_o = (means2d_cull[:, 0], means2d_cull[:, 1], r2_max)
     else:
-        cull_f = []
-    cols += [bits(c.astype(jnp.float32), jnp.int32) for c in cull_f]
-    ncull = len(cull_f)
-    packed_s = jnp.stack(cols, axis=1)[perm]        # (N, 5+ncull) one gather
+        cull_o = None
+    ncull = len(cull_o) if cull_o is not None else 0
 
-    x0, y0, x1, y1 = (packed_s[:, 0], packed_s[:, 1], packed_s[:, 2],
-                      packed_s[:, 3])
-    valid_s = packed_s[:, 4] != 0
     y0 = jnp.clip(y0 - tile_row_start, 0, nty)
     y1 = jnp.clip(y1 - tile_row_start, 0, nty)
     rw = jnp.maximum(x1 - x0, 0)
     rh = jnp.maximum(y1 - y0, 0)
-    live = valid_s & (rw > 0) & (rh > 0)
+    live = valid & (rw > 0) & (rh > 0)
 
-    unbits = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
-    cull_s = tuple(unbits(packed_s[:, 5 + i]) for i in range(ncull)) or None
-
-    ranks = jnp.arange(n, dtype=jnp.int32)
+    ranks = inv_perm                      # depth rank per ORIGINAL id
 
     # ---- route each gaussian to the smallest level that fits its rect ------
     # levels must be nested so `need` (number of levels that don't fit) is
@@ -309,9 +301,10 @@ def bin_gaussians_dense(
     for rect_w, rect_h, _ in levels[:-1]:
         need = need + ((rw > rect_w) | (rh > rect_h)).astype(jnp.int32)
     need = jnp.where(live, need, num_levels)
-    route_key = (need << RANK_BITS) | ranks
-    # keys are unique (rank in the low bits): unstable sorts skip the
-    # implicit iota payload XLA adds for stability
+    # low bits carry the ORIGINAL id (unique, so unstable sorts skip XLA's
+    # implicit stability payload); bucket members then index the
+    # original-order columns directly
+    route_key = (need << RANK_BITS) | iota
     sorted_route = jax.lax.sort(route_key, is_stable=False)
     level_offs = jnp.searchsorted(
         sorted_route,
@@ -322,11 +315,13 @@ def bin_gaussians_dense(
     overflow = []
     level_sizes = []
     total = jnp.int32(0)
-    rank_counts = jnp.zeros((n,), jnp.int32)
+    id_counts = jnp.zeros((n,), jnp.int32)   # live slots per ORIGINAL id
+    bits = jax.lax.bitcast_convert_type
+    unbits = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
     for li, (rect_w, rect_h, bucket) in enumerate(levels):
         if bucket is None:
-            sel = ranks
             lvl_live = live & (need == li)
+            args = [ranks, x0, y0, rw, rh, lvl_live, cull_o]
             g = n
         else:
             bucket = min(bucket, n)
@@ -337,21 +332,20 @@ def bin_gaussians_dense(
             sel_keys = jax.lax.dynamic_slice(
                 sorted_route, (level_offs[li],), (bucket,)
             )
-            sel = sel_keys & ((1 << RANK_BITS) - 1)
+            sel = sel_keys & ((1 << RANK_BITS) - 1)     # original ids
             lvl_live = (sel_keys >> RANK_BITS) == li
             g = bucket
-        if bucket is None:
-            args = [sel, x0, y0, rw, rh, lvl_live, cull_s]
-        else:
             # ONE row gather for all per-gaussian columns (random access
-            # costs per row; seven separate [sel] gathers would cost 7x)
-            cols = [x0, y0, rw, rh]
-            if cull_s is not None:
-                cols += [bits(c, jnp.int32) for c in cull_s]
-            sub = jnp.stack(cols, axis=1)[sel]          # (bucket, 4+ncull)
-            lvl_cull = (tuple(unbits(sub[:, 4 + i]) for i in range(ncull))
-                        if cull_s is not None else None)
-            args = [sel, sub[:, 0], sub[:, 1], sub[:, 2], sub[:, 3],
+            # costs per row; eight separate [sel] gathers would cost 8x);
+            # the rank rides along so no second gather of inv_perm
+            cols = [ranks, x0, y0, rw, rh]
+            if cull_o is not None:
+                cols += [bits(c.astype(jnp.float32), jnp.int32)
+                         for c in cull_o]
+            sub = jnp.stack(cols, axis=1)[sel]          # (bucket, 5+ncull)
+            lvl_cull = (tuple(unbits(sub[:, 5 + i]) for i in range(ncull))
+                        if cull_o is not None else None)
+            args = [sub[:, 0], sub[:, 1], sub[:, 2], sub[:, 3], sub[:, 4],
                     lvl_live, lvl_cull]
         keys, row_counts = _level_keys(
             *args, rect_w, rect_h, num_tiles, ntx, nty, tile_size,
@@ -361,12 +355,14 @@ def bin_gaussians_dense(
         level_sizes.append((g, rect_w * rect_h))
         total = total + jnp.sum(row_counts)
         if bucket is None:
-            # level 0 routes by identity: counts land directly on ranks
-            rank_counts = rank_counts + row_counts
+            # level 0 routes by identity: counts land on original ids
+            id_counts = id_counts + row_counts
         else:
-            # tiny scatter (bucket-sized) onto the routed ranks
-            rank_counts = rank_counts.at[sel].add(
+            # tiny scatter (bucket-sized) onto the routed original ids
+            id_counts = id_counts.at[sel].add(
                 jnp.where(lvl_live, row_counts, 0), mode="drop")
+    # the reduction consumes counts per RANK: one (N,) gather
+    rank_counts = id_counts[perm]
 
     all_keys = jnp.concatenate(key_parts)
 
@@ -375,10 +371,6 @@ def bin_gaussians_dense(
     sorted_key = jax.lax.sort(all_keys, is_stable=False)
     sorted_rank = sorted_key & ((1 << RANK_BITS) - 1)
     sorted_valid = sorted_key < (num_tiles << RANK_BITS)
-
-    _, inv_perm = jax.lax.sort(
-        (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
-    )
 
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_starts = jnp.searchsorted(

@@ -582,6 +582,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     events = {"capacity_growth": 0, "level_bucket_growth": 0,
               "densify": 0, "opacity_reset": 0, "unresolved_overflow": 0,
               "step_compiles": 0}
+    compile_s = 0.0  # wall time stalled in trace+compile (see t_disp)
     last_probe = 0  # most recent drained instance-demand probe
     # 2-deep probe/loss read pipeline: by the time an entry is read, its
     # async D2H copy has fully landed, so the read never pays the tunnel
@@ -667,12 +668,19 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             timestep = np.int32(cam.timestep or 0)
             cam_bg = np.asarray(cam.bg, np.float32)
 
+            t_disp = time.time()
             state, losses, instance_total = step_fns[key](
                 state, flame_fixed, binding_arg(model) if bound else None,
                 model.active_mask(),
                 camera_arrays(params_cam), np.asarray(gt, np.float32), cam_bg,
                 timestep, lrs,
             )
+            t_disp = time.time() - t_disp
+            if t_disp > 0.5:
+                # dispatch is async; a stalled CALL is a trace+compile
+                # (fresh jitted fn, or an in-fn retrace from a shape
+                # change, e.g. the binding seg_bound growing)
+                compile_s += t_disp
 
         # Probes and losses are checked EVERY iteration but one step late,
         # via async D2H copies started at dispatch time: a synchronous
@@ -855,6 +863,8 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         "model_capacity": int(model.capacity),
         "instance_capacity": int(pipe_cfg.capacity),
         "level_scale": int(getattr(pipe_cfg, "level_scale", 1)),
+        "compile_s": round(compile_s, 2),
+        "compile_frac": round(compile_s / max(elapsed, 1e-9), 4),
         "events": events,
     }
     with open(os.path.join(model_cfg.model_path, "run_summary.json"),
