@@ -26,6 +26,9 @@ def _add_group(parser: ArgumentParser, cfg, name: str, shorthand_fields=(),
     for f in dataclasses.fields(cfg):
         key = f.name
         default = getattr(defaults, key)
+        if isinstance(default, tuple):
+            continue        # internal host-grown knobs, not CLI flags
+
         flags = [f"--{key}"]
         if key in shorthand_fields:
             flags.append(f"-{key[0]}")
@@ -102,8 +105,12 @@ class PipelineConfig:
                                    # windows of this many rows (single-chip
                                    # high-resolution path; 4K exceeds the
                                    # scalar-prefetch SMEM in one pass)
-    level_scale: int = 1           # dense tail-bucket multiplier (grown by
-                                   # the loop on a level_overflow probe)
+    level_scale: int = 1           # dense tail-bucket multiplier, ALL
+                                   # levels (legacy global grow knob)
+    level_scales: tuple = ()       # per-tail-level multipliers (grown by
+                                   # the loop from the level-tagged
+                                   # rect_overflow probe; index = bucket
+                                   # level, i.e. plan level - 1)
     data_parallel: int = 1         # camera-batch groups over the 'data' axis
     render_parallel: int = 1       # gaussian/tile shards over the 'prim' axis
                                    # (data_parallel*render_parallel devices)

@@ -79,13 +79,26 @@ def default_levels(ntx: int, nty: int) -> tuple[tuple[int, int, int | None], ...
     return tuple(out)
 
 
-def scaled_levels(ntx: int, nty: int, scale: int = 1):
-    """default_levels with all tail buckets multiplied by `scale` (the
-    host's grow-and-rejit response to a level_overflow probe)."""
-    return tuple(
-        (w, h, None if b is None else min(b * scale, 1 << RANK_BITS))
-        for w, h, b in default_levels(ntx, nty)
-    )
+def scaled_levels(ntx: int, nty: int, scale: int = 1, per_level=()):
+    """default_levels with tail buckets scaled (the host's grow-and-rejit
+    response to a level_overflow probe).
+
+    `scale` multiplies every tail bucket (legacy global knob);
+    `per_level[i]` additionally multiplies ONLY tail level i+1's bucket
+    (index into the overflow vector, i.e. bucket levels only) — growing
+    one overflowing level must not inflate the others' slot counts,
+    which every sort/key-build cost scales with.
+    """
+    out = []
+    ti = 0
+    for w, h, b in default_levels(ntx, nty):
+        if b is None:
+            out.append((w, h, None))
+            continue
+        mult = scale * (per_level[ti] if ti < len(per_level) else 1)
+        out.append((w, h, min(b * mult, 1 << RANK_BITS)))
+        ti += 1
+    return tuple(out)
 
 
 class DenseBinning(NamedTuple):

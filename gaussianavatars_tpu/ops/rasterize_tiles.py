@@ -187,10 +187,23 @@ def rasterize(
             binning.num_tiles_x * binning.num_tiles_y,
             False,
         )
-        rect_overflow = (
-            jnp.max(binning.level_overflow)
-            if binning.level_overflow.shape[0] else jnp.int32(0)
-        )
+        if binning.level_overflow.shape[0]:
+            # encode WHICH level fell short so the host can grow just
+            # that bucket: (level+1) << 24 | shortfall. Zero when no
+            # overflow, so `rect_overflow > 0` keeps meaning "re-bucket".
+            # (a uniform global scale multiplied EVERY tail bucket for
+            # one level's shortfall; at level_scale 8 the n-capped slot
+            # count ~5x'd the key sort)
+            ov = binning.level_overflow
+            lvl = jnp.argmax(ov).astype(jnp.int32)
+            worst = ov[lvl]
+            rect_overflow = jnp.where(
+                worst > 0,
+                ((lvl + 1) << 24) | jnp.minimum(worst, (1 << 24) - 1),
+                0,
+            )
+        else:
+            rect_overflow = jnp.int32(0)
     else:
         binning = bin_gaussians(
             jax.lax.stop_gradient(proj.means2d),

@@ -261,7 +261,36 @@ def _dense_levels(pipe_cfg, width, height):
     from gaussianavatars_tpu.ops.binning_dense import scaled_levels
 
     ntx, nty = tile_grid(width, height, pipe_cfg.tile_size)
-    return scaled_levels(ntx, nty, getattr(pipe_cfg, "level_scale", 1))
+    return scaled_levels(ntx, nty, getattr(pipe_cfg, "level_scale", 1),
+                         getattr(pipe_cfg, "level_scales", ()))
+
+
+def _grow_level_bucket(pipe_cfg, enc, width, height):
+    """Grow ONLY the overflowing tail bucket, directly to the observed
+    need (pow2 with 25% headroom): rect_overflow encodes
+    (bucket_level+1) << 24 | shortfall. One recompile instead of repeated
+    global doublings — and no collateral slot-count inflation on the
+    other levels (every sort/key-build cost scales with total slots)."""
+    from gaussianavatars_tpu.ops.binning import tile_grid
+    from gaussianavatars_tpu.ops.binning_dense import default_levels
+
+    lvl = (enc >> 24) - 1
+    short = enc & ((1 << 24) - 1)
+    scales = list(getattr(pipe_cfg, "level_scales", ()) or ())
+    if lvl < 0:                      # un-tagged legacy probe
+        pipe_cfg.level_scale = 2 * getattr(pipe_cfg, "level_scale", 1)
+        return
+    ntx, nty = tile_grid(width, height, pipe_cfg.tile_size)
+    buckets = [b for _, _, b in default_levels(ntx, nty) if b is not None]
+    while len(scales) < len(buckets):
+        scales.append(1)
+    cur = (buckets[lvl] * getattr(pipe_cfg, "level_scale", 1)
+           * scales[lvl])
+    need = int(1.25 * (cur + short))
+    mult = -(-need // (buckets[lvl] * getattr(pipe_cfg, "level_scale", 1)))
+    scales[lvl] = max(scales[lvl] * 2,
+                      1 << max(0, (mult - 1)).bit_length())
+    pipe_cfg.level_scales = tuple(scales)
 
 
 def make_parallel_train_step(mesh, model, opt_cfg: OptimizationConfig,
@@ -698,9 +727,12 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             if pv >= 0:
                 last_probe = max(last_probe, pv)
             if pv < 0:
-                print(f"[warn] dense level-bucket shortfall {-pv}; "
-                      f"growing level_scale")
-                pipe_cfg.level_scale = 2 * getattr(pipe_cfg, "level_scale", 1)
+                enc = -pv
+                print(f"[warn] dense level-bucket shortfall "
+                      f"{enc & ((1 << 24) - 1)} on tail level "
+                      f"{(enc >> 24) - 1}; growing that bucket")
+                _grow_level_bucket(pipe_cfg, enc, params_cam.width,
+                                   params_cam.height)
                 events["level_bucket_growth"] += 1
                 step_fns.clear()
             elif pv > pipe_cfg.capacity:
@@ -844,7 +876,9 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     while pending:
         pv = int(pending.popleft()[0])
         if pv < 0:
-            print(f"[warn] dense level-bucket shortfall {-pv} in final steps")
+            print(f"[warn] dense level-bucket shortfall "
+                  f"{(-pv) & ((1 << 24) - 1)} on tail level "
+                  f"{((-pv) >> 24) - 1} in final steps")
             events["unresolved_overflow"] += 1
         elif pv > pipe_cfg.capacity:
             print(f"[warn] instance overflow {pv} > {pipe_cfg.capacity} "
@@ -863,6 +897,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         "model_capacity": int(model.capacity),
         "instance_capacity": int(pipe_cfg.capacity),
         "level_scale": int(getattr(pipe_cfg, "level_scale", 1)),
+        "level_scales": list(getattr(pipe_cfg, "level_scales", ()) or ()),
         "compile_s": round(compile_s, 2),
         "compile_frac": round(compile_s / max(elapsed, 1e-9), 4),
         "events": events,
