@@ -114,9 +114,10 @@ def _gather_frames_sorted(table, binding, ends, max_seg=None):
     internal passes) and 1.44 ms for the packed scatter. Callers encode
     max_seg in a static arg shape so densify growth retraces
     (train/loop.binding_arg). With max_seg None the cumsum form runs.
-    Grads in dead capacity-padding slots are structurally ignored: the
-    dead tail's binding (0) never equals the last face's id, and starts
-    only index live runs.
+    Grads in dead capacity-padding slots are ignored: the cumsum form
+    reads totals only at live `ends`; the shift-add form masks the dead
+    tail's cotangents explicitly (its binding of 0 would alias face 0's
+    id whenever face 0's run is within shift distance of the tail).
     """
     return table[binding]
 
@@ -134,8 +135,13 @@ def _gather_frames_sorted_bwd(max_seg, residuals, g):
             [jnp.zeros_like(tot[:1]), tot[:-1]], axis=0)
         return (d_table, None, None)
     # segmented suffix shift-add (see instance_pack._gather_perm_bwd):
-    # an equal binding at distance s implies the whole gap is one segment
-    x = g
+    # an equal binding at distance s implies the whole gap is one segment.
+    # Dead capacity-padding rows carry binding 0, which ALIASES face 0's
+    # id whenever face 0's run is within shift distance of the tail (tiny
+    # F) — mask their cotangents out up front instead of trusting callers
+    # to zero them (one (C, 17) where vs a silent d_table[0] leak).
+    live = (jnp.arange(g.shape[0], dtype=jnp.int32) <= ends[-1])[:, None]
+    x = jnp.where(live, g, 0.0)
     shift = 1
     while shift < max(2, max_seg):
         same = jnp.pad(binding[shift:] == binding[:-shift], (0, shift))
@@ -746,6 +752,11 @@ class GaussianModel:
     def capture(self, opt_state: AdamState) -> dict:
         n = self.n_alive
         out = {
+            # features_rest device layout version: "cmajor" = flat
+            # channel-major [N, 3*(K-1)] (r4+). Checkpoints without this
+            # field predate the layout change and hold the old
+            # coeff-major [N, (K-1)*3] flat order; restore() migrates.
+            "features_rest_layout": "cmajor",
             "active_sh_degree": self.active_sh_degree,
             "n_alive": n,
             "spatial_lr_scale": self.spatial_lr_scale,
@@ -773,6 +784,20 @@ class GaussianModel:
         p = {k: data[f"param_{k}"] for k in GaussianParams._fields}
         mu = {k: data[f"mu_{k}"] for k in GaussianParams._fields}
         nu = {k: data[f"nu_{k}"] for k in GaussianParams._fields}
+
+        layout = str(np.asarray(data.get("features_rest_layout", "kmajor")))
+        if layout != "cmajor":
+            # pre-r4 checkpoint: features_rest (and its Adam moments) were
+            # saved coeff-major [N, (K-1)*3]; migrate to channel-major
+            km = self.n_sh_coeffs - 1
+
+            def to_cmajor(a):
+                a = np.asarray(a)
+                return a.reshape(-1, km, 3).transpose(0, 2, 1).reshape(
+                    -1, 3 * km)
+
+            for d_ in (p, mu, nu):
+                d_["features_rest"] = to_cmajor(d_["features_rest"])
         state = self._from_host(p, mu, nu, jnp.asarray(int(data["adam_count"])))
         cap = self.capacity
 

@@ -172,7 +172,16 @@ import os as _os
 
 _ABLATE = frozenset(
     filter(None, _os.environ.get("GA_BLEND_ABLATE", "").split(","))
-)                      # dev-only cost attribution: {'scan2', 'moments',
+)
+if _ABLATE:            # a stale/inherited env var silently corrupts images
+    import sys as _sys
+    print(
+        f"*** GA_BLEND_ABLATE={','.join(sorted(_ABLATE))}: blend kernels are "
+        "running in TIMING-ONLY ablation mode — images and gradients are "
+        "WRONG. Unset GA_BLEND_ABLATE for real runs. ***",
+        file=_sys.stderr, flush=True,
+    )
+                       # dev-only cost attribution: {'scan2', 'moments',
                        # 'dalpha', 'cutoff'} disable kernel pieces at TRACE
                        # time (results become wrong; timing-only).
                        # 'cutoff' drops the per-pixel T<eps termination

@@ -32,6 +32,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import random
 import time
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
@@ -270,27 +271,40 @@ def _grow_level_bucket(pipe_cfg, enc, width, height):
     need (pow2 with 25% headroom): rect_overflow encodes
     (bucket_level+1) << 24 | shortfall. One recompile instead of repeated
     global doublings — and no collateral slot-count inflation on the
-    other levels (every sort/key-build cost scales with total slots)."""
+    other levels (every sort/key-build cost scales with total slots).
+
+    Returns True if a bucket actually grew (caller must rebuild step fns
+    AND discard in-flight pre-growth probes; a stale probe re-triggering
+    growth would double the just-grown bucket again). Returns False when
+    the bucket is already at the 1 << RANK_BITS per-level ceiling —
+    growing further is impossible and re-jitting would loop forever."""
     from gaussianavatars_tpu.ops.binning import tile_grid
-    from gaussianavatars_tpu.ops.binning_dense import default_levels
+    from gaussianavatars_tpu.ops.binning_dense import RANK_BITS, default_levels
 
     lvl = (enc >> 24) - 1
     short = enc & ((1 << 24) - 1)
     scales = list(getattr(pipe_cfg, "level_scales", ()) or ())
     if lvl < 0:                      # un-tagged legacy probe
         pipe_cfg.level_scale = 2 * getattr(pipe_cfg, "level_scale", 1)
-        return
+        return True
     ntx, nty = tile_grid(width, height, pipe_cfg.tile_size)
     buckets = [b for _, _, b in default_levels(ntx, nty) if b is not None]
     while len(scales) < len(buckets):
         scales.append(1)
-    cur = (buckets[lvl] * getattr(pipe_cfg, "level_scale", 1)
-           * scales[lvl])
+    base = buckets[lvl] * getattr(pipe_cfg, "level_scale", 1)
+    if base * scales[lvl] >= (1 << RANK_BITS):
+        print(f"[warn] tail level {lvl} bucket already at the "
+              f"{1 << RANK_BITS} rank-field ceiling; cannot grow further "
+              f"(shortfall {short} instances will keep being dropped "
+              "depth-last)")
+        return False
+    cur = base * scales[lvl]
     need = int(1.25 * (cur + short))
-    mult = -(-need // (buckets[lvl] * getattr(pipe_cfg, "level_scale", 1)))
+    mult = -(-need // base)
     scales[lvl] = max(scales[lvl] * 2,
                       1 << max(0, (mult - 1)).bit_length())
     pipe_cfg.level_scales = tuple(scales)
+    return True
 
 
 def make_parallel_train_step(mesh, model, opt_cfg: OptimizationConfig,
@@ -526,10 +540,18 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
              saving_iterations=(), checkpoint_iterations=(),
              start_checkpoint: Optional[str] = None,
              log_every: int = 10,
-             tb_writer=None, gui=None, debug_from: int = -1):
+             tb_writer=None, gui=None, debug_from: int = -1,
+             seed: int = 0):
     """Full optimization loop (reference train.py:35-214)."""
     os.makedirs(model_cfg.model_path, exist_ok=True)
     save_config(model_cfg.model_path, model_cfg)
+
+    # reference safe_state (utils/general_utils.py:112-133): seed the
+    # process RNGs at training entry so the run is reproducible no matter
+    # what the host process did before (camera shuffle order uses the
+    # global `random` module, scene.py:79)
+    random.seed(seed)
+    np.random.seed(seed)
 
     # device mesh for --data_parallel / --render_parallel (SURVEY.md §2.5)
     n_data = max(1, pipe_cfg.data_parallel)
@@ -602,7 +624,9 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         denom=model.denom,
     )
 
-    ema_loss = 0.0
+    ema_loss = None   # seeded to the first observed loss (an EMA from 0
+                      # understates early history points by up to 60%,
+                      # which poisons any learned-vs-initial comparison)
     t_start = time.time()
     history = []
     timeline = []
@@ -618,6 +642,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     # round trip (reading 1 step late still stalls ~1 RTT after the step)
     from collections import deque
     pending = deque()
+    stale_probes = 0   # probes enqueued before a bucket growth: ignored
 
     from tqdm import tqdm
 
@@ -723,6 +748,12 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         pv = None
         if len(pending) > 2 or iteration == opt_cfg.iterations:
             pv = int(pending.popleft()[0])
+            if stale_probes > 0:
+                # probe predates a bucket/capacity growth this drain
+                # already acted on — using it would double the grown
+                # bucket again (one wasted recompile + slot inflation)
+                stale_probes -= 1
+                pv = None
         if pv is not None:
             if pv >= 0:
                 last_probe = max(last_probe, pv)
@@ -731,16 +762,18 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 print(f"[warn] dense level-bucket shortfall "
                       f"{enc & ((1 << 24) - 1)} on tail level "
                       f"{(enc >> 24) - 1}; growing that bucket")
-                _grow_level_bucket(pipe_cfg, enc, params_cam.width,
-                                   params_cam.height)
-                events["level_bucket_growth"] += 1
-                step_fns.clear()
+                if _grow_level_bucket(pipe_cfg, enc, params_cam.width,
+                                      params_cam.height):
+                    events["level_bucket_growth"] += 1
+                    step_fns.clear()
+                    stale_probes = len(pending)
             elif pv > pipe_cfg.capacity:
                 print(f"[warn] instance overflow {pv} > "
                       f"{pipe_cfg.capacity}; growing bucket")
                 pipe_cfg.capacity = int(1.5 * pv)
                 events["capacity_growth"] += 1
                 step_fns.clear()
+                stale_probes = len(pending)
         if iteration % log_every == 0 or iteration == opt_cfg.iterations:
             # final iteration reads its own losses (sync); otherwise the
             # oldest pipelined copy keeps logging stall-free
@@ -757,7 +790,8 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 raise FloatingPointError(
                     f"non-finite loss at iteration {iteration}; "
                     f"state dumped to {snap}")
-            ema_loss = 0.4 * total + 0.6 * ema_loss
+            ema_loss = (total if ema_loss is None
+                        else 0.4 * total + 0.6 * ema_loss)
             history.append((iteration, ema_loss))
             timeline.append((iteration, time.time()))
             progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
@@ -892,7 +926,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         "iterations": int(opt_cfg.iterations),
         "first_iter": int(first_iter),
         "elapsed_s": round(elapsed, 2),
-        "final_ema_loss": float(ema_loss),
+        "final_ema_loss": float(ema_loss or 0.0),
         "n_alive": int(model.n_alive),
         "model_capacity": int(model.capacity),
         "instance_capacity": int(pipe_cfg.capacity),
@@ -905,7 +939,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     with open(os.path.join(model_cfg.model_path, "run_summary.json"),
               "w") as f:
         json.dump(summary, f, indent=2)
-    return model, state, {"ema_loss": ema_loss, "elapsed": elapsed,
+    return model, state, {"ema_loss": ema_loss or 0.0, "elapsed": elapsed,
                           "history": history, "timeline": timeline,
                           "summary": summary}
 

@@ -269,6 +269,26 @@ def test_sorted_frame_gather_transposes_agree():
     np.testing.assert_allclose(d_dirty, d_scatter, atol=1e-5)
 
 
+def test_sorted_frame_gather_tiny_f_dirty_tail():
+    """F=1 aliasing case (ADVICE r4): the dead tail's binding of 0 equals
+    face 0's id and sits within shift distance of its run — dirty tail
+    cotangents must NOT leak into d_table[0]."""
+    from gaussianavatars_tpu.models.gaussians import _gather_frames_sorted
+
+    rng = np.random.default_rng(3)
+    cap, n = 32, 3                              # face 0 run: slots 0..2
+    binding = jnp.zeros(cap, jnp.int32)
+    ends = jnp.asarray([n - 1], jnp.int32)
+    table = jnp.asarray(rng.normal(size=(1, 17)).astype(np.float32))
+    g = rng.normal(size=(cap, 17)).astype(np.float32)
+
+    d = jax.grad(
+        lambda t: jnp.sum(_gather_frames_sorted(t, binding, ends, 16)
+                          * jnp.asarray(g)))(table)
+    np.testing.assert_allclose(np.asarray(d), g[:n].sum(0, keepdims=True),
+                               atol=1e-5)
+
+
 def test_cache_token_is_unique_across_lifetimes():
     """Eval render-fn caches key on cache_token, not id(): id() values
     recycle after GC, which could resurrect a stale capacity closure."""
@@ -370,6 +390,35 @@ def test_capture_restore_roundtrip():
         np.asarray(m.params.xyz)[:70], np.asarray(m2.params.xyz)[:70]
     )
     assert int(state2.count) == 5
+
+
+def test_restore_migrates_kmajor_checkpoint():
+    """Checkpoints saved before the channel-major features_rest layout
+    (no features_rest_layout field) hold coeff-major [N, (K-1)*3] data;
+    restore() must transpose it instead of silently corrupting SH colors
+    (ADVICE r4, medium)."""
+    m = make_model(n=16)
+    mu, nu, count = optim.init(m.params)
+    state = AdamState(mu=mu, nu=nu, count=jnp.asarray(1, jnp.int32))
+    data = m.capture(state)
+    assert str(np.asarray(data["features_rest_layout"])) == "cmajor"
+    km = m.n_sh_coeffs - 1
+
+    def to_kmajor(a):
+        return np.asarray(a).reshape(-1, 3, km).transpose(0, 2, 1).reshape(
+            -1, km * 3)
+
+    legacy = dict(data)
+    del legacy["features_rest_layout"]
+    for k in ("param_features_rest", "mu_features_rest", "nu_features_rest"):
+        legacy[k] = to_kmajor(legacy[k])
+
+    m2 = GaussianModel(sh_degree=2, capacity_granularity=64)
+    m2.restore(legacy)
+    n = m.n_alive
+    np.testing.assert_array_equal(
+        np.asarray(m.params.features_rest)[:n],
+        np.asarray(m2.params.features_rest)[:n])
 
 
 def test_ply_header_matches_reference_layout(tmp_path):
