@@ -55,12 +55,12 @@ __all__ = ["make_bench_scene", "WIDTH", "HEIGHT", "SH_DEGREE", "N_GAUSSIANS"]
 _LINES = []
 
 
-def emit(metric, value, unit, vs_baseline):
+def emit(metric, value, unit, vs_baseline, digits=2):
     """Buffer result lines; main() prints them with the canonical
     train-step metric LAST (the driver parses the final JSON line as the
     headline, and that name must stay comparable across rounds)."""
     line = json.dumps({
-        "metric": metric, "value": round(value, 2), "unit": unit,
+        "metric": metric, "value": round(value, digits), "unit": unit,
         "vs_baseline": round(vs_baseline, 3),
     })
     _LINES.append(line)
@@ -310,7 +310,22 @@ def bench_bound():
          "ms", 12.0 / (1e3 / best_ips))
 
 
+def bench_self_check():
+    """On-device Mosaic-vs-jnp parity gate (VERDICT r4 weak #4): every
+    BENCH_r*.json doubles as a cross-backend numeric record. Emits the
+    worst image |d| and grad rel |d|; vs_baseline 1.0 = within gate."""
+    sys.path.insert(0, "tools")
+    from parity_vs_reference import self_check
+
+    ok, img_d, grad_rd = self_check()
+    emit("xbackend_image_maxdiff", img_d, "abs", 1.0 if ok else 0.0,
+         digits=7)
+    emit("xbackend_grad_reldiff", grad_rd, "rel", 1.0 if ok else 0.0,
+         digits=7)
+
+
 def main():
+    bench_self_check()
     bench_bound()
     bench_unbound()
     # bound (avatar-workload) lines first, canonical unbound lines last

@@ -262,6 +262,7 @@ def self_check():
         imgs[b] = jax.jit(lambda s, b=b: render(b, s).image)(scene)
     img_d = float(jnp.max(jnp.abs(imgs["pallas"] - imgs["jnp"])))
     ok = img_d <= 2e-3
+    worst = 0.0
     print(f"[self_check] image max|d| pallas-vs-jnp: {img_d:.3e} "
           f"{'OK' if ok else 'DIVERGES'}")
 
@@ -279,7 +280,8 @@ def self_check():
         ok &= good
         print(f"[self_check] grad rel max|d| {k}: {rd:.2e} "
               f"{'OK' if good else 'DIVERGES'}")
-    return ok
+        worst = max(worst, rd)
+    return ok, img_d, worst
 
 
 def main(argv=None):
@@ -309,7 +311,7 @@ def main(argv=None):
     if args.compare:
         ok &= compare(*args.compare)
     if args.self_check:
-        ok &= self_check()
+        ok &= self_check()[0]
     sys.exit(0 if ok else 1)
 
 
