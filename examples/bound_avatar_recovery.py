@@ -49,6 +49,12 @@ N_CAMS = 16         # NeRSemble-like rig width. The MIDDLE camera of each
                     # the training cameras exactly, and val collapses as
                     # SH degrees unlock (measured 25.9 -> 15.7 dB).
 HOLD_OUT = N_CAMS // 2
+N_RINGS = 2         # two elevation rings: a 2D view cone constrains
+                    # view-dependent SH far better than one yaw arc (the
+                    # r4 1-ring rig let deg-2 SH interpolate the training
+                    # directions and val DEGRADED 26.6 -> 21.6 dB between
+                    # iters 6k and 10k while train loss kept falling)
+ELEVS = (-0.18, 0.18)
 DIST = 0.55         # camera depth: the ~0.2-diameter fixture head fills
                     # ~70% of the frame at FOVX 0.5 (protocol framing)
 FOVX = 0.5
@@ -95,22 +101,30 @@ def write_dataset(data_dir, asset_dir, width, height, seed=0):
     placeholder = Image.fromarray(
         np.zeros((height, width, 3), np.uint8))
     for t in range(T_STEPS):
-        for c in range(N_CAMS):
-            if c != HOLD_OUT:
-                split = "train"
-            else:
-                split = "val" if t % 2 == 0 else "test"
-            name = f"images/{img_id:05d}.png"
-            placeholder.save(os.path.join(data_dir, name))
-            angle = 2.0 * math.pi * (c / N_CAMS - 0.5) * 0.35
-            frame = _camera_frame(angle, width, height, FOVX, t, c, name,
-                                  f"flame_param/{t:05d}.npz")
-            # pull the camera in close enough for the head to fill the frame
-            m = np.asarray(frame["transform_matrix"])
-            m[:3, 3] *= DIST / 4.0
-            frame["transform_matrix"] = m.tolist()
-            splits[split].append(frame)
-            img_id += 1
+        for ring in range(N_RINGS):
+            for c in range(N_CAMS):
+                if c != HOLD_OUT:
+                    split = "train"
+                else:
+                    # each ring's middle camera held out; alternate splits
+                    # across rings AND timesteps so val (novel view) and
+                    # test (self-reenactment) each cover both elevations
+                    split = "val" if (t + ring) % 2 == 0 else "test"
+                name = f"images/{img_id:05d}.png"
+                placeholder.save(os.path.join(data_dir, name))
+                angle = 2.0 * math.pi * (c / N_CAMS - 0.5) * 0.35
+                # stagger the rings' yaws so view directions tile the cone
+                angle += (ring - (N_RINGS - 1) / 2) * math.pi * 0.35 / N_CAMS
+                elev = ELEVS[ring]
+                frame = _camera_frame(angle, width, height, FOVX, t,
+                                      ring * N_CAMS + c, name,
+                                      f"flame_param/{t:05d}.npz", elev=elev)
+                # pull the camera in close enough to fill the frame
+                m = np.asarray(frame["transform_matrix"])
+                m[:3, 3] *= DIST / 4.0
+                frame["transform_matrix"] = m.tolist()
+                splits[split].append(frame)
+                img_id += 1
     for split, frames in splits.items():
         with open(os.path.join(data_dir, f"transforms_{split}.json"),
                   "w") as f:

@@ -10,13 +10,17 @@ from .utils import make_camera
 
 
 def _camera_frame(angle, width, height, fovx, timestep, cam_idx, file_path,
-                  flame_path):
-    """Build a transforms.json frame matching the reader's conventions."""
+                  flame_path, elev=0.0):
+    """Build a transforms.json frame matching the reader's conventions.
+    `elev` (radians) lifts the camera off the equatorial ring (2D rigs
+    constrain view-dependent SH much better than a 1D yaw arc)."""
     import math
 
     # invert the make_camera construction: produce a c2w in OpenGL convention
     dist = 4.0
-    pos = np.array([dist * math.sin(angle), 0.0, -dist * math.cos(angle)])
+    ce = math.cos(elev)
+    pos = np.array([dist * ce * math.sin(angle), dist * math.sin(elev),
+                    -dist * ce * math.cos(angle)])
     fwd = -pos / np.linalg.norm(pos)
     up = np.array([0.0, -1.0, 0.0])
     right = np.cross(up, fwd)
