@@ -248,7 +248,9 @@ def bench_bound():
 
     # ---- bound render fps ---------------------------------------------------
     render = make_render_fn(model, pipe, WIDTH, HEIGHT, SH_DEGREE)
-    flame_param = dict(model.flame_param)
+    # constant across renders: pin on device once (numpy leaves re-upload
+    # ~300 KB of FLAME params per dispatch on tunneled frontends)
+    flame_param = jax.device_put(dict(model.flame_param))
     binding = binding_arg(model)
     active = model.active_mask()
     ts = jnp.asarray(0, jnp.int32)
@@ -268,8 +270,8 @@ def bench_bound():
 
     # ---- bound full train step ----------------------------------------------
     flame_tr = model.flame_trainable()
-    flame_fixed = {k: v for k, v in model.flame_param.items()
-                   if k not in flame_tr}
+    flame_fixed = jax.device_put(
+        {k: v for k, v in model.flame_param.items() if k not in flame_tr})
     mu, nu, count = optim.init({"gauss": model.params, "flame": flame_tr})
     state = StepState(
         params=model.params, flame_tr=flame_tr, mu=mu, nu=nu, count=count,

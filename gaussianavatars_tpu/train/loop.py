@@ -610,6 +610,11 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         {k: v for k, v in model.flame_param.items() if k not in flame_tr}
         if bound else {}
     )
+    # constant across steps: pin on device ONCE. As numpy leaves these
+    # re-upload every dispatch (static_offset alone is 60 KB; tunneled
+    # frontends pay arg-transfer per step) — same class of win as the GT
+    # device cache above.
+    flame_fixed = jax.device_put(flame_fixed)
     bg = jnp.asarray(
         [1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0]
     )
