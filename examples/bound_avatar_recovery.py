@@ -198,6 +198,12 @@ def main():
                     help="also run the val/test eval sweep every N "
                          "iterations (PSNR/SSIM trajectory; 0 = final only)")
     ap.add_argument("--densify_every", type=int, default=300)
+    ap.add_argument("--no_finetune_flame", action="store_true",
+                    help="freeze FLAME params at the dataset rig values "
+                         "(this synthetic protocol's rig params are exact "
+                         "GT, so finetuning can only drift them; real "
+                         "captures should leave finetuning ON as the "
+                         "reference does)")
     args = ap.parse_args()
 
     from gaussianavatars_tpu.config import (
@@ -216,6 +222,7 @@ def main():
     model_cfg = ModelConfig(
         source_path=data_dir, model_path=os.path.join(args.out, "out"),
         bind_to_mesh=True, eval=True, sh_degree=2, white_background=True,
+        not_finetune_flame_params=args.no_finetune_flame,
     )
     pipe_cfg = PipelineConfig(backend=backend, capacity=1 << 19,
                               chunk=128 if backend == "pallas" else 16)
