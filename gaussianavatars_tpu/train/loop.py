@@ -654,6 +654,36 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     gt_dev_cache = {}  # (image key, w, h) -> device-resident GT image
     gt_dev_bytes = [0]
 
+    # ---- speculative async pre-compilation -------------------------------
+    # Remote/AOT TPU compilers can take minutes per fresh HLO; the 10k
+    # 448x400 quality run measured compile_frac 0.53 with only 5 step
+    # compiles. SH warmup bumps are PREDICTABLE (every 1000 iterations,
+    # reference train.py:109-110), so the next degree's step fn is traced
+    # + compiled on a side thread ~300 iters ahead: by bump time the
+    # persistent compile cache (utils/jax_setup) already holds the
+    # executable and the foreground "compile" is a cache read.
+    import threading
+
+    precompiling = set()
+    last_step_args = {}            # jit key -> concrete args of last call
+
+    def precompile_async(key, builder, args):
+        if parallel or key in step_fns or key in precompiling:
+            return
+        precompiling.add(key)
+
+        def run():
+            try:
+                fn = builder()
+                fn.lower(*args).compile()
+                step_fns.setdefault(key, fn)
+            except Exception as e:     # stale shapes etc. — speculative
+                print(f"[warn] async precompile {key}: {e!r}")
+            finally:
+                precompiling.discard(key)
+
+        threading.Thread(target=run, daemon=True).start()
+
     from tqdm import tqdm
 
     progress = tqdm(range(first_iter, opt_cfg.iterations),
@@ -680,6 +710,22 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         # SH warmup (reference train.py:109-110)
         if iteration % 1000 == 0:
             model.one_up_sh_degree()
+
+        # the NEXT warmup degree's step fn compiles on a side thread ~300
+        # iters ahead of its bump (arg shapes are degree-independent)
+        if (not parallel and iteration % 1000 == 700
+                and model.active_sh_degree < model.max_sh_degree):
+            nxt_deg = model.active_sh_degree + 1
+            wh = (params_cam.width, params_cam.height)
+            if wh in last_step_args:
+                w_, h_ = wh
+                cap_ = model.capacity
+                precompile_async(
+                    (w_, h_, cap_, nxt_deg),
+                    lambda w_=w_, h_=h_, nxt_deg=nxt_deg: make_train_step(
+                        model, opt_cfg, pipe_cfg, w_, h_, nxt_deg,
+                        model.num_timesteps),
+                    last_step_args[wh])
 
         if parallel:
             # one optimizer step consumes a data-axis batch of cameras
@@ -750,13 +796,19 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     gt_dev_bytes[0] += 3 * 4 * params_cam.width \
                         * params_cam.height
 
-            t_disp = time.time()
-            state, losses, instance_total = step_fns[key](
+            step_args = (
                 state, flame_fixed, binding_arg(model) if bound else None,
                 model.active_mask(),
                 camera_arrays(params_cam), gt_arg, cam_bg,
                 timestep, lrs,
             )
+            # stash SHAPES only (the real call donates state's buffers;
+            # holding concrete refs would pin or invalidate them)
+            last_step_args[key[:2]] = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                if hasattr(a, "shape") else a, step_args)
+            t_disp = time.time()
+            state, losses, instance_total = step_fns[key](*step_args)
             t_disp = time.time() - t_disp
             if t_disp > 0.5:
                 # dispatch is async; a stalled CALL is a trace+compile
