@@ -111,7 +111,11 @@ def binding_arg(model):
         getattr(model, "binding_counter", None) is not None) else 0
     if max_seg <= 0:
         return (b, ends)
-    p2 = 1 << max(0, (max_seg - 1)).bit_length()
+    # floor at 16: early densification doubles the deepest face 1->2->4->8
+    # in quick succession, and every pow2 bump retraces the jitted step
+    # (a multi-minute remote compile each on tunneled frontends). 4 fixed
+    # shift-add passes cost ~0.1 ms; three avoided recompiles buy minutes.
+    p2 = max(16, 1 << max(0, (max_seg - 1)).bit_length())
     return (b, ends, np.zeros((p2,), np.int8))
 
 
