@@ -947,6 +947,32 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 # compiled step; only pipe_cfg changes (instance capacity /
                 # level growth) invalidate entries wholesale
 
+                # predictive capacity-bucket precompile: when the live
+                # count nears the bucket, the NEXT bucket's step config is
+                # known — compile it on the side thread now so the growth
+                # retrace is a persistent-cache read (the 30k protocol run
+                # measured ~100-150 s per fresh capacity HLO, the largest
+                # remaining compile_frac class after the SH-warmup fix)
+                if not parallel and model.n_alive >= 0.8 * model.capacity:
+                    old_cap = model.capacity
+                    nxt_cap = old_cap + model.capacity_granularity
+                    wh = (params_cam.width, params_cam.height)
+                    if wh in last_step_args:
+                        def morph(s):
+                            if (hasattr(s, "shape") and s.shape
+                                    and s.shape[0] == old_cap):
+                                return jax.ShapeDtypeStruct(
+                                    (nxt_cap,) + s.shape[1:], s.dtype)
+                            return s
+                        deg = model.active_sh_degree
+                        w_, h_ = wh
+                        precompile_async(
+                            (w_, h_, nxt_cap, deg),
+                            lambda w_=w_, h_=h_, deg=deg: make_train_step(
+                                model, opt_cfg, pipe_cfg, w_, h_, deg,
+                                model.num_timesteps),
+                            jax.tree.map(morph, last_step_args[wh]))
+
             if iteration % opt_cfg.opacity_reset_interval == 0 or (
                 model_cfg.white_background
                 and iteration == opt_cfg.densify_from_iter
