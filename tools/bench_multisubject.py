@@ -109,11 +109,35 @@ def main():
         return step(state, fixeds[si], binds[si], actives[si],
                     cams_salted[i], gt, bg, np.int32(0), lrss[si])
 
-    # warmup every subject through the SHARED compiled step
-    for si in range(args.subjects):
-        states[si], _, probe = one(si, states[si], 0)
-    jax.block_until_ready(states[-1].params.xyz)
-    assert 0 <= int(probe) <= pipe.capacity
+    # warmup every subject through the SHARED compiled step; respond to
+    # bucket shortfalls the way the training loop does (grow + rebuild)
+    from gaussianavatars_tpu.train.loop import _grow_level_bucket
+
+    for _attempt in range(8):
+        probes = []
+        for si in range(args.subjects):
+            states[si], _, probe = one(si, states[si], 0)
+            probes.append(probe)
+        jax.block_until_ready(states[-1].params.xyz)
+        pvs = [int(p) for p in probes]
+        if any(pv < 0 for pv in pvs):
+            enc = -min(pvs)
+            print(f"[grow] tail level {(enc >> 24) - 1} shortfall "
+                  f"{enc & ((1 << 24) - 1)}; growing bucket")
+            _grow_level_bucket(pipe, enc, WIDTH, HEIGHT)
+        elif max(pvs) > pipe.capacity:
+            pipe.capacity = autosize(max(pvs))
+            print(f"[grow] instance capacity -> {pipe.capacity}")
+        else:
+            break
+        step = make_train_step(subjects[0], opt_cfg, pipe, WIDTH, HEIGHT,
+                               SH_DEGREE, subjects[0].num_timesteps)
+
+        def one(si, state, i, step=step):
+            return step(state, fixeds[si], binds[si], actives[si],
+                        cams_salted[i], gt, bg, np.int32(0), lrss[si])
+    else:
+        raise AssertionError(f"probe never settled: {pvs}")
 
     def run(active_subjects):
         best = 0.0
