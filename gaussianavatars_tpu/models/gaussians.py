@@ -180,13 +180,18 @@ def world_space_gaussians(
     # channel-major block order makes the SH eval + its VJP pure
     # contiguous-block math (ops/sh.eval_sh_flat_cmajor; the k-major flat
     # form still paid ~1.8 ms of interleaved-slice relayouts at 100k)
-    km = params.features_rest.shape[1] // 3
-    dc, rest = params.features_dc, params.features_rest
-    shs = jnp.concatenate(
-        [dc[:, 0:1], rest[:, :km],
-         dc[:, 1:2], rest[:, km:2 * km],
-         dc[:, 2:3], rest[:, 2 * km:]], axis=1,
-    )
+    if params.features_dc is None:
+        # pre-fused [C, 3K] channel-major features (dc at block heads):
+        # no per-step concat (see docs/performance.md r5 bound-gap note)
+        shs = params.features_rest
+    else:
+        km = params.features_rest.shape[1] // 3
+        dc, rest = params.features_dc, params.features_rest
+        shs = jnp.concatenate(
+            [dc[:, 0:1], rest[:, :km],
+             dc[:, 1:2], rest[:, km:2 * km],
+             dc[:, 2:3], rest[:, 2 * km:]], axis=1,
+        )
 
     if binding is None:
         quats = quat_normalize(params.rotation)
