@@ -670,17 +670,24 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     precompiling = set()
     last_step_args = {}            # jit key -> concrete args of last call
+    cfg_gen = [0]                  # bumped whenever pipe_cfg mutates
+                                   # (level/capacity growth): an in-flight
+                                   # precompile traced against the OLD plan
+                                   # must not re-install itself after the
+                                   # growth's step_fns.clear()
 
     def precompile_async(key, builder, args):
         if parallel or key in step_fns or key in precompiling:
             return
         precompiling.add(key)
+        gen = cfg_gen[0]
 
         def run():
             try:
                 fn = builder()
                 fn.lower(*args).compile()
-                step_fns.setdefault(key, fn)
+                if cfg_gen[0] == gen:
+                    step_fns.setdefault(key, fn)
             except Exception as e:     # stale shapes etc. — speculative
                 print(f"[warn] async precompile {key}: {e!r}")
             finally:
@@ -850,6 +857,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                                       params_cam.height):
                     events["level_bucket_growth"] += 1
                     step_fns.clear()
+                    cfg_gen[0] += 1
                     stale_probes = len(pending)
             elif pv > pipe_cfg.capacity:
                 print(f"[warn] instance overflow {pv} > "
@@ -857,6 +865,7 @@ def training(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 pipe_cfg.capacity = int(1.5 * pv)
                 events["capacity_growth"] += 1
                 step_fns.clear()
+                cfg_gen[0] += 1
                 stale_probes = len(pending)
         if iteration % log_every == 0 or iteration == opt_cfg.iterations:
             # final iteration reads its own losses (sync); otherwise the
